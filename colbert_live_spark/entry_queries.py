@@ -1,0 +1,330 @@
+"""Implementations behind __spark_entry__.queries() / oracle_sql().
+
+Each query is a (spark, sf_dir) -> DataFrame callable paired with an ANSI-SQL
+oracle string DuckDB runs over the same parquet tables. Column names/aliases
+match exactly on both sides (the driver sorts columns by name before
+value-hashing). Float score columns are rounded to 6 decimals on BOTH sides;
+ranking always happens on unrounded values with a deterministic doc_id
+tie-break, so rounding only stabilizes the hash, never the order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from colbert_live_spark.functions.tokenize import DUCKDB_TOKENIZE
+from colbert_live_spark.operators import bm25
+from colbert_live_spark.queryset import DOC_QUERIES
+
+ROUND = 6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tok_sql(col: str = "text") -> str:
+    return DUCKDB_TOKENIZE.format(col=col)
+
+
+# SQL fragment: the query set as an inline VALUES relation (qid, term, qtf,
+# n_terms), pre-tokenized driver-side so the oracle shares the tokenizer.
+def _queries_values_sql(queries=DOC_QUERIES) -> str:
+    from colbert_live_spark.functions.tokenize import py_tokenize
+    rows = []
+    for qid, qtext in queries:
+        counts: dict[str, int] = {}
+        for t in py_tokenize(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in sorted(counts.items()):
+            rows.append(f"('{qid}', '{term}', {qtf}, {len(counts)})")
+    return ("(VALUES " + ", ".join(rows)
+            + ") AS qt(query_id, term, qtf, n_terms)")
+
+
+# Shared oracle CTE prelude: tokens, postings, doc lengths, corpus stats, idf.
+_BM25_CTES = f"""
+WITH tok AS (
+  SELECT doc_id, {_tok_sql()} AS toks FROM documents
+),
+doclen AS (
+  SELECT doc_id, len(toks) AS dl FROM tok
+),
+post AS (
+  SELECT term, doc_id, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY term, doc_id
+),
+cstats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+tstats AS (
+  SELECT term, count(*)::BIGINT AS df,
+         ln(1.0 + (cstats.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM post, cstats GROUP BY term, cstats.n_docs
+)
+"""
+
+
+def _bm25_topk_sql(k: int = 10, conjunctive: bool = False,
+                   lang: str | None = None) -> str:
+    lang_join = ""
+    lang_where = ""
+    if lang is not None:
+        lang_join = "JOIN documents d ON d.doc_id = post.doc_id"
+        lang_where = f"AND d.lang = '{lang}'"
+    having = "HAVING count(*) = first(qt.n_terms)" if conjunctive else ""
+    return f"""
+{_BM25_CTES},
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(qt.qtf * tstats.idf * post.tf * (1.2 + 1.0)
+             / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / cstats.avgdl))
+         ) AS score
+  FROM post
+  JOIN {_queries_values_sql()} ON qt.term = post.term
+  JOIN tstats ON tstats.term = post.term
+  JOIN doclen ON doclen.doc_id = post.doc_id
+  {lang_join}
+  CROSS JOIN cstats
+  WHERE 1=1 {lang_where}
+  GROUP BY qt.query_id, post.doc_id
+  {having}
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, {ROUND}) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _round_score(df: DataFrame) -> DataFrame:
+    return df.withColumn("score", F.round("score", ROUND))
+
+
+# ------------------------------------------------------------------ queries
+
+def q_postings(spark, sf_dir):
+    """S8/T2/A2: the uncompressed posting relation (term, doc_id, tf)."""
+    return bm25.postings(_docs(spark, sf_dir))
+
+
+def q_doc_stats(spark, sf_dir):
+    return bm25.doc_stats(_docs(spark, sf_dir))
+
+
+def q_term_stats(spark, sf_dir):
+    """A5: exact df + idf per term."""
+    docs = _docs(spark, sf_dir)
+    post = bm25.postings(docs)
+    dstats = bm25.doc_stats(docs)
+    n = bm25.corpus_stats(dstats).select("n_docs")
+    return bm25.term_stats(post, n).withColumn("idf", F.round("idf", ROUND))
+
+
+def q_corpus_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (bm25.corpus_stats(bm25.doc_stats(docs))
+            .select("n_docs", F.round("avgdl", ROUND).alias("avgdl")))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """The flagship serving path: batched disjunctive BM25 top-10."""
+    return _round_score(bm25.search(spark, _docs(spark, sf_dir), DOC_QUERIES, k=10))
+
+
+def q_bm25_conjunctive(spark, sf_dir):
+    """Posting-list intersection semantics (SURVEY.md §2.9)."""
+    return _round_score(
+        bm25.search(spark, _docs(spark, sf_dir), DOC_QUERIES, k=10,
+                    conjunctive=True))
+
+
+def q_bm25_lang_filtered(spark, sf_dir):
+    """F1 analog: metadata predicate composed with retrieval
+    (`example/cmdline/db.py:82-88` tag-filtered ANN)."""
+    spark_df = _docs(spark, sf_dir)
+    docs_en = spark_df.filter(F.col("lang") == "en")
+    return _round_score(bm25.search(spark, docs_en, DOC_QUERIES, k=10))
+
+
+def q_topk_payload(spark, sf_dir):
+    """S10/J5/R1: join top-k back to the docs table for payloads — broadcast
+    join of the tiny result side (`colbert_live/db/astra.py:249-260` analog)."""
+    docs = _docs(spark, sf_dir)
+    top = bm25.search(spark, docs, DOC_QUERIES, k=5)
+    return (docs.join(F.broadcast(top), "doc_id")
+            .select("query_id", "rank", "doc_id",
+                    F.round("score", ROUND).alias("score"),
+                    F.substring("text", 1, 40).alias("snippet"),
+                    "lang"))
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """C4: literal reciprocal-rank fusion (rrf_k=60,
+    `colbert_live/colbert_live.py:189-194`) across per-term rankings."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    post = bm25.postings(docs)
+    dstats = bm25.doc_stats(docs)
+    cstats = bm25.corpus_stats(dstats)
+    tstats = bm25.term_stats(post, cstats.select("n_docs"))
+    qterms = bm25.query_terms_df(spark, DOC_QUERIES)
+    per_term = (post.join(F.broadcast(qterms), "term")
+                .join(F.broadcast(tstats.select("term", "idf")), "term")
+                .join(dstats.hint("broadcast"), "doc_id")
+                .crossJoin(F.broadcast(cstats.select("avgdl")))
+                .select("query_id", "term", "doc_id",
+                        (F.col("idf") * bm25.bm25_weight(
+                            F.col("tf"), F.col("dl"), F.col("avgdl"))).alias("w")))
+    w_rank = Window.partitionBy("query_id", "term").orderBy(
+        F.desc("w"), F.asc("doc_id"))
+    fused = (per_term.withColumn("trank", F.row_number().over(w_rank))
+             .groupBy("query_id", "doc_id")
+             .agg(F.sum(1.0 / (60.0 + F.col("trank"))).alias("score")))
+    return _round_score(bm25.topk(fused, k=10))
+
+
+def q_rankings_sink(spark, sf_dir):
+    """S9/O4 rankings sink shape: qid, doc_id, rank, score (TSV-writable,
+    `example/bench/lotte.py:111-116`)."""
+    top = bm25.search(spark, _docs(spark, sf_dir), DOC_QUERIES, k=10)
+    return top.select(F.col("query_id").alias("qid"), "doc_id", "rank",
+                      F.round("score", ROUND).alias("score"))
+
+
+# -------------------------------------------------------------- oracle SQL
+
+def oracle_map() -> dict[str, str]:
+    rrf_sql = f"""
+{_BM25_CTES},
+per_term AS (
+  SELECT qt.query_id, post.term, post.doc_id,
+         tstats.idf * post.tf * (1.2 + 1.0)
+           / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / cstats.avgdl)) AS w
+  FROM post
+  JOIN {_queries_values_sql()} ON qt.term = post.term
+  JOIN tstats ON tstats.term = post.term
+  JOIN doclen ON doclen.doc_id = post.doc_id
+  CROSS JOIN cstats
+),
+tranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id, term
+                            ORDER BY w DESC, doc_id ASC) AS trank
+  FROM per_term
+),
+fused AS (
+  SELECT query_id, doc_id, sum(1.0 / (60.0 + trank)) AS score
+  FROM tranked GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, {ROUND}) AS score
+FROM ranked WHERE rank <= 10
+"""
+    payload_sql = f"""
+{_BM25_CTES},
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(qt.qtf * tstats.idf * post.tf * (1.2 + 1.0)
+             / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / cstats.avgdl))
+         ) AS score
+  FROM post
+  JOIN {_queries_values_sql()} ON qt.term = post.term
+  JOIN tstats ON tstats.term = post.term
+  JOIN doclen ON doclen.doc_id = post.doc_id
+  CROSS JOIN cstats
+  GROUP BY qt.query_id, post.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id,
+       round(r.score, {ROUND}) AS score,
+       substr(d.text, 1, 40) AS snippet, d.lang
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= 5
+"""
+    return {
+        "postings_build": f"""
+WITH tok AS (SELECT doc_id, {_tok_sql()} AS toks FROM documents)
+SELECT term, doc_id, count(*)::INT AS tf
+FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+GROUP BY term, doc_id
+""",
+        "doc_stats": f"""
+SELECT doc_id, len({_tok_sql()})::INT AS dl FROM documents
+""",
+        "term_stats": f"""
+WITH tok AS (SELECT doc_id, {_tok_sql()} AS toks FROM documents),
+post AS (
+  SELECT term, doc_id FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY term, doc_id
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT term, count(*)::BIGINT AS df,
+       round(ln(1.0 + (n.n_docs - count(*) + 0.5) / (count(*) + 0.5)), {ROUND}) AS idf
+FROM post, n GROUP BY term, n.n_docs
+""",
+        "corpus_stats": f"""
+WITH tok AS (SELECT doc_id, {_tok_sql()} AS toks FROM documents)
+SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM tok
+""",
+        "bm25_topk": _bm25_topk_sql(k=10),
+        "bm25_conjunctive": _bm25_topk_sql(k=10, conjunctive=True),
+        "bm25_lang_filtered": _bm25_topk_sql(k=10).replace(
+            "FROM documents", "FROM (SELECT * FROM documents WHERE lang = 'en')"),
+        "topk_payload": payload_sql,
+        "rrf_fusion": rrf_sql,
+        "rankings_sink": f"""
+{_BM25_CTES},
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(qt.qtf * tstats.idf * post.tf * (1.2 + 1.0)
+             / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / cstats.avgdl))
+         ) AS score
+  FROM post
+  JOIN {_queries_values_sql()} ON qt.term = post.term
+  JOIN tstats ON tstats.term = post.term
+  JOIN doclen ON doclen.doc_id = post.doc_id
+  CROSS JOIN cstats
+  GROUP BY qt.query_id, post.doc_id
+),
+ranked AS (
+  SELECT query_id AS qid, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, rank::INT AS rank, round(score, {ROUND}) AS score
+FROM ranked WHERE rank <= 10
+""",
+    }
+
+
+def query_map():
+    return {
+        "postings_build": q_postings,
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_lang_filtered": q_bm25_lang_filtered,
+        "topk_payload": q_topk_payload,
+        "rrf_fusion": q_rrf_fusion,
+        "rankings_sink": q_rankings_sink,
+    }

@@ -1,0 +1,170 @@
+"""BM25 retrieval as declarative Spark DataFrame plans.
+
+This is the relational re-expression of the reference's serving path
+(``colbert_live/colbert_live.py:177-208``): encode query → per-token candidate
+generation (``db.query_ann``, `colbert_live/db/astra.py:235-247`) → fused
+accumulate (`:189-194`) → top-k (`:205-208`). Here:
+
+- candidate generation = ``postings ⋈ broadcast(query_terms)`` — the broadcast
+  join is the Spark-idiomatic analog of the reference's concurrent per-token
+  fan-out (one ANN query per embedding, `colbert_live/db/astra.py:238-239`);
+  at 100 TB the postings side stays partitioned in place and only the tiny
+  query-term table moves.
+- fused accumulate = ``groupBy(query_id, doc_id).sum`` — partial (map-side)
+  aggregation happens automatically, so per-executor traffic is one partial
+  row per (query, doc) not one per posting.
+- top-k = ``row_number`` over (query_id) or ``TakeOrderedAndProject``.
+
+Everything in this module is JVM-side whole-stage-codegen — zero Python UDFs.
+The compressed/block-max path lives in ``operators/wand.py``.
+
+Scale notes (1000-executor / 10^12-doc design):
+- stats (N, avgdl) and per-term df are tiny relative to postings; they join
+  broadcast. df_t is exact (countDistinct) — rank-identity forbids
+  approx_count_distinct (SURVEY.md §2.6 A5).
+- the postings build's only shuffle is the groupBy(term, doc_id); Catalyst
+  map-side-combines it. Head-term skew at full scale is handled by the
+  compressed index build (index/builder.py) which salts; this uncompressed
+  relational form relies on AQE skew handling and is the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from colbert_live_spark import BM25_B, BM25_K1
+from colbert_live_spark.functions.tokenize import py_tokenize, tokenize_expr
+
+
+# ---------------------------------------------------------------- build side
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, tokens array<string>) — the T2 document-encode analog
+    (`colbert_live/models.py:95-106`), JVM tokenizer."""
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize_expr(text_col).alias("tokens"))
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) document lengths."""
+    return doc_tokens(docs, id_col, text_col).select(
+        "doc_id", F.size("tokens").alias("dl"))
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf) — the uncompressed posting relation; the analog of
+    the reference's one-row-per-token-embedding table
+    (`example/cmdline/db.py:38-47`) with tf replacing the vector payload."""
+    toks = doc_tokens(docs, id_col, text_col)
+    return (toks.select("doc_id", F.explode("tokens").alias("term"))
+                .groupBy("term", "doc_id")
+                .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+
+
+def term_stats(post: DataFrame, n_docs_df: DataFrame) -> DataFrame:
+    """(term, df, idf). Exact df; Lucene idf = ln(1+(N-df+.5)/(df+.5))."""
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (df_t.crossJoin(F.broadcast(n_docs_df))
+            .select("term", "df",
+                    F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5)).alias("idf")))
+
+
+def corpus_stats(dstats: DataFrame) -> DataFrame:
+    """Single row (n_docs, avgdl)."""
+    return dstats.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.avg("dl").alias("avgdl"))
+
+
+# ---------------------------------------------------------------- query side
+
+def query_terms_df(spark, queries: list[tuple[str, str]]) -> DataFrame:
+    """(query_id, term, qtf, n_terms) from [(query_id, text)].
+
+    Driver-side tokenization (T1 analog, `colbert_live/models.py:92-93`) —
+    queries are tiny; duplicate query terms collapse into qtf, the analog of
+    query-embedding pooling (`colbert_live/colbert_live.py:22-49`).
+    """
+    rows = []
+    for qid, qtext in queries:
+        toks = py_tokenize(qtext)
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in sorted(counts.items()):
+            rows.append((qid, term, qtf, len(counts)))
+    return spark.createDataFrame(rows, "query_id string, term string, qtf int, n_terms int")
+
+
+def bm25_weight(tf: Column, dl: Column, avgdl: Column,
+                k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def score_queries(
+    post: DataFrame,
+    dstats: DataFrame,
+    qterms: DataFrame,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """(query_id, doc_id, score) exact BM25, disjunctive by default.
+
+    Join order is scale-shaped: postings (huge) ⋈ broadcast(qterms, tiny)
+    prunes to matching terms first, then ⋈ broadcast(term idf) and
+    ⋈ doc lengths. At sandbox scale doc lengths broadcast too; on a real
+    corpus dl rides inside the compressed index (see index/builder.py) so no
+    big-big join exists on the serving path.
+    """
+    cstats = corpus_stats(dstats)
+    tstats = term_stats(post, cstats.select("n_docs"))
+    matched = (post.join(F.broadcast(qterms), "term")
+                   .join(F.broadcast(tstats.select("term", "idf")), "term")
+                   .join(dstats.hint("broadcast"), "doc_id")
+                   .crossJoin(F.broadcast(cstats.select("avgdl"))))
+    contrib = matched.select(
+        "query_id", "doc_id", "n_terms",
+        (F.col("qtf") * F.col("idf")
+         * bm25_weight(F.col("tf"), F.col("dl"), F.col("avgdl"))).alias("w"))
+    agg = (contrib.groupBy("query_id", "doc_id")
+                  .agg(F.sum("w").alias("score"),
+                       F.count(F.lit(1)).alias("terms_hit"),
+                       F.first("n_terms").alias("n_terms")))
+    if conjunctive:
+        agg = agg.filter(F.col("terms_hit") == F.col("n_terms"))
+    return agg.select("query_id", "doc_id", "score")
+
+
+def topk(scored: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, rank, doc_id, score) — deterministic tie-break doc_id ASC.
+
+    Per-query top-k via row_number window; Catalyst turns the per-partition
+    sort + filter into a bounded partial top-k (WindowGroupLimit), the
+    distributed analog of TakeOrderedAndProject (O2/O3,
+    `colbert_live/colbert_live.py:199-208`).
+    """
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "rank", "doc_id", "score"))
+
+
+def search(
+    spark,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    conjunctive: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end batched search over a raw document table (builds the
+    uncompressed index inline). The compressed-index path with WAND pruning
+    is ``index.builder.build_index`` + ``operators.wand.wand_search``."""
+    post = postings(docs, id_col, text_col)
+    dstats = doc_stats(docs, id_col, text_col)
+    qterms = query_terms_df(spark, queries)
+    return topk(score_queries(post, dstats, qterms, conjunctive=conjunctive), k)

@@ -1,0 +1,59 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every knob here is
+chosen to also be correct at 1000-executor / 100 TB scale:
+
+- AQE on (runtime coalesce + skew-join splitting),
+- Arrow enabled for every JVM<->Python boundary,
+- shuffle partitions sized to cores locally (cluster deployments override via
+  ``spark-submit --conf``; the engine never hard-codes partition counts into
+  logic — layout decisions use ``df.rdd.getNumPartitions()`` or explicit args).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "colbert_live_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS or *]``. On a real cluster the
+    caller submits with ``spark-submit --py-files`` and master is inherited.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
