@@ -165,6 +165,36 @@ def q_topk_payload(spark, sf_dir):
                     "lang"))
 
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def built_index(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the compressed term-sharded index
+    for the documents corpus under /tmp; returns the index dir."""
+    if sf_dir not in _INDEX_CACHE:
+        import hashlib
+        import os
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = f"/tmp/cls_index_{tag}"
+        if not os.path.exists(f"{out}/_INDEX_META.json"):
+            from colbert_live_spark.index.builder import build_index
+            docs = _docs(spark, sf_dir)
+            build_index(spark, docs, out, n_groups=4, n_shards=4,
+                        salt_rows=200,
+                        doc_meta=docs.select("doc_id", "lang"))
+        _INDEX_CACHE[sf_dir] = out
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_bm25_topk_wand(spark, sf_dir):
+    """Same answer as bm25_topk but served from the compressed term-sharded
+    index via block-max-pruned scoring (oracle: identical SQL — the driver's
+    hash-match proves the codec+WAND path is rank/score-identical)."""
+    from colbert_live_spark.operators.wand import wand_search
+    idx = built_index(spark, sf_dir)
+    return _round_score(wand_search(spark, idx, DOC_QUERIES, k=10))
+
+
 def q_rrf_fusion(spark, sf_dir):
     """C4: literal reciprocal-rank fusion (rrf_k=60,
     `colbert_live/colbert_live.py:189-194`) across per-term rankings."""
@@ -284,6 +314,7 @@ WITH tok AS (SELECT doc_id, {_tok_sql()} AS toks FROM documents)
 SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM tok
 """,
         "bm25_topk": _bm25_topk_sql(k=10),
+        "bm25_topk_wand": _bm25_topk_sql(k=10),
         "bm25_conjunctive": _bm25_topk_sql(k=10, conjunctive=True),
         "bm25_lang_filtered": _bm25_topk_sql(k=10).replace(
             "FROM documents", "FROM (SELECT * FROM documents WHERE lang = 'en')"),
@@ -322,6 +353,7 @@ def query_map():
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_lang_filtered": q_bm25_lang_filtered,
         "topk_payload": q_topk_payload,

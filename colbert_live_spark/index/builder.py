@@ -1,0 +1,296 @@
+"""Distributed, resumable inverted-index build (SURVEY.md §7 stages 3-6).
+
+The Spark re-expression of the reference's ingest path
+(`example/bench/lotte.py:50-95`: batch → encode → bulk insert, resumable from
+``start_ordinal`` `:81-83`, idempotence guard `:67-69`):
+
+Stage 1 — ``build_runs``: input docs are split into commit groups (by input
+file when available — the real-scale path where groups = ingest increments —
+else by hash of doc id). Each group is one Spark job producing a sorted
+posting run ``(term, doc_id, tf, dl)`` under ``runs/gid=N/`` plus a ledger row
+(lineage: group id, files, row counts, postings/sec, bytes, wall ms). A killed
+build resumes by anti-joining pending groups against the ledger — completed
+groups are never re-read.
+
+Stage 2 — ``merge_index``: one idempotent job (overwrite semantics):
+dictionary with dense term ids + exact df/idf, head-term salting
+(``n_salts = ceil(df / salt_rows)``), then the big merge-shuffle:
+``repartitionByRange(term_id, salt, doc_id)`` + ``sortWithinPartitions`` +
+streaming group-encode in ``mapInPandas`` → block-compressed term-sharded
+postings, written sorted by term_id so parquet row-group stats prune
+query-time term lookups.
+
+Scale notes:
+- the ONLY large shuffle is the range partition of runs; salting bounds the
+  largest (term, salt) group to ~``salt_rows`` rows regardless of Zipf skew.
+- the dictionary build shuffles one small row per distinct (term) — vocab,
+  not corpus, sized.
+- dense doc ids are taken from the input when present (our corpora provide
+  them); ``assign_dense_ids`` provides the zipWithIndex-pattern fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from colbert_live_spark.index import codec
+
+RUN_SCHEMA = "term string, doc_id long, tf int, dl int"
+BLOCK_SCHEMA = ("term_id long, salt int, block_id int, first_doc long, "
+                "last_doc long, n int, max_weight double, "
+                "docs binary, tfs binary, dls binary")
+LEDGER_SCHEMA = ("gid int, stage string, n_docs long, n_postings long, "
+                 "bytes long, wall_ms long, files string")
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from colbert_live_spark.functions.tokenize import tokenize_expr
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize_expr(text_col).alias("tokens"))
+
+
+def _runs_from_tokens(toks: DataFrame) -> DataFrame:
+    return (toks.select("doc_id", F.size("tokens").alias("dl"),
+                        F.explode("tokens").alias("term"))
+                .groupBy("term", "doc_id", "dl")
+                .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+                .select("term", "doc_id", "tf", "dl"))
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def completed_groups(spark: SparkSession, out_dir: str) -> set[int]:
+    ledger = f"{out_dir}/ledger"
+    if not os.path.isdir(ledger) or not any(
+            f.endswith(".parquet") for f in os.listdir(ledger)):
+        return set()
+    rows = (spark.read.parquet(ledger)
+            .filter(F.col("stage") == "runs").select("gid").collect())
+    return {r.gid for r in rows}
+
+
+def _append_ledger(spark: SparkSession, out_dir: str, row: tuple) -> None:
+    spark.createDataFrame([row], LEDGER_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(f"{out_dir}/ledger")
+
+
+def build_runs(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_groups: int | None = None,
+    fail_after_group: int | None = None,
+) -> list[int]:
+    """Stage 1. Returns the list of group ids processed in this invocation.
+
+    ``fail_after_group`` is test hookery for the kill-and-resume fixture
+    (FIXTURES.md §5): raise after committing that many groups.
+    """
+    files = sorted(docs.inputFiles())
+    done = completed_groups(spark, out_dir)
+    if files:
+        if n_groups is None:
+            n_groups = len(files)
+        groups = {g: [f for i, f in enumerate(files) if i % n_groups == g]
+                  for g in range(n_groups)}
+        groups = {g: fl for g, fl in groups.items() if fl}
+    else:
+        n_groups = n_groups or 16
+        groups = {g: None for g in range(n_groups)}
+
+    processed: list[int] = []
+    for gid in sorted(groups):
+        if gid in done:
+            continue
+        t0 = time.time()
+        if groups[gid] is not None:
+            part = spark.read.schema(docs.schema).parquet(*groups[gid])
+        else:
+            part = docs.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)) == gid)
+        toks = _tokenized(part, id_col, text_col).persist()
+        run_path = f"{out_dir}/runs/gid={gid}"
+        _runs_from_tokens(toks).write.mode("overwrite").parquet(run_path)
+        toks.select("doc_id", F.size("tokens").alias("dl")).write.mode(
+            "overwrite").parquet(f"{out_dir}/doclens/gid={gid}")
+        n_docs = toks.count()
+        toks.unpersist()
+        n_post = spark.read.parquet(run_path).count()
+        wall_ms = int((time.time() - t0) * 1000)
+        _append_ledger(spark, out_dir, (
+            gid, "runs", n_docs, n_post, _dir_bytes(run_path), wall_ms,
+            json.dumps(groups[gid] or [])))
+        processed.append(gid)
+        if fail_after_group is not None and len(processed) >= fail_after_group:
+            raise RuntimeError(f"injected failure after group {gid}")
+    return processed
+
+
+def _dense_term_ids(spark: SparkSession, terms: DataFrame,
+                    n_parts: int) -> DataFrame:
+    """(term, df) → (term, term_id dense 0..V-1, df). zipWithIndex pattern:
+    range-partition by term, per-partition offsets from a counts pre-pass."""
+    # persist: the counts pre-pass and the assignment pass must see the SAME
+    # range partitioning (range boundaries are sample-based)
+    parted = (terms.repartitionByRange(n_parts, "term")
+                   .sortWithinPartitions("term")).persist()
+    counts = {r.p: r.c for r in parted.select(
+        F.spark_partition_id().alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    offsets = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def assign(it):
+        pid = TaskContext.get().partitionId()
+        base = bc.value.get(pid, 0)
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["term_id"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in parted.schema.fields) + ", term_id long"
+    return parted.mapInPandas(assign, schema=out_schema)
+
+
+def merge_index(
+    spark: SparkSession,
+    out_dir: str,
+    n_shards: int = 16,
+    salt_rows: int = 1_000_000,
+    block_size: int = codec.BLOCK_SIZE,
+    doc_meta: DataFrame | None = None,
+) -> None:
+    """Stage 2: runs → dictionary + compressed term-sharded postings + stats.
+
+    ``salt_rows``: max postings per (term, salt) sub-list — the head-term
+    skew bound (north rule). Sub-lists are doc-disjoint (salt = hash(doc_id)
+    mod n_salts) and each is doc-sorted, so query-time treats them as
+    independent sorted lists of the same term.
+    """
+    t0 = time.time()
+    runs = spark.read.parquet(f"{out_dir}/runs")
+
+    dstats = spark.read.parquet(f"{out_dir}/doclens").select("doc_id", "dl")
+    if doc_meta is not None:
+        dstats = dstats.join(doc_meta, "doc_id", "left")
+    dstats.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    dstats = spark.read.parquet(f"{out_dir}/docs")
+
+    cstats = dstats.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    cstats.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    st = spark.read.parquet(f"{out_dir}/stats").collect()[0]
+    n_docs, avgdl = st.n_docs, float(st.avgdl)
+
+    df_t = runs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dict_df = _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
+    dict_df = dict_df.select(
+        "term", "term_id", "df",
+        F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"),
+        F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(salt_rows)))
+         .cast("int").alias("n_salts"))
+    dict_df.write.mode("overwrite").parquet(f"{out_dir}/dict")
+    dict_df = spark.read.parquet(f"{out_dir}/dict")
+
+    # The merge-shuffle: postings + term ids, salted, range-partitioned so
+    # each (term_id, salt) group is contiguous and sorted by doc_id.
+    tagged = (runs.join(dict_df.select("term", "term_id", "n_salts"), "term")
+              .select("term_id",
+                      F.pmod(F.xxhash64("doc_id"), F.col("n_salts"))
+                       .cast("int").alias("salt"),
+                      "doc_id", "tf", "dl"))
+    parted = (tagged.repartitionByRange(n_shards, "term_id", "salt", "doc_id")
+                    .sortWithinPartitions("term_id", "salt", "doc_id"))
+
+    def encode_partition(it):
+        import numpy as np
+        import pandas as pd
+        buf: list[pd.DataFrame] = []
+        cur_key: tuple | None = None
+
+        def flush():
+            if cur_key is None or not buf:
+                return None
+            g = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            blocks = codec.encode_posting_list(
+                g["doc_id"].to_numpy(np.int64), g["tf"].to_numpy(np.int64),
+                g["dl"].to_numpy(np.int64), avgdl, block_size)
+            out = pd.DataFrame(blocks)
+            out.insert(0, "salt", cur_key[1])
+            out.insert(0, "term_id", cur_key[0])
+            return out
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            keys = pdf[["term_id", "salt"]].to_numpy()
+            # split the arrow batch at key-change boundaries
+            change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+            start = 0
+            for end in list(change) + [len(pdf)]:
+                seg = pdf.iloc[start:end]
+                key = (int(seg["term_id"].iloc[0]), int(seg["salt"].iloc[0]))
+                if cur_key is not None and key != cur_key:
+                    flushed = flush()
+                    if flushed is not None:
+                        yield flushed
+                    buf.clear()
+                cur_key = key
+                buf.append(seg)
+                start = end
+        flushed = flush()
+        if flushed is not None:
+            yield flushed
+
+    blocks_df = parted.mapInPandas(encode_partition, schema=BLOCK_SCHEMA)
+    blocks_df.write.mode("overwrite").parquet(f"{out_dir}/postings")
+
+    n_blocks = spark.read.parquet(f"{out_dir}/postings").count()
+    _append_ledger(spark, out_dir, (
+        -1, "merge", n_docs, n_blocks, _dir_bytes(f"{out_dir}/postings"),
+        int((time.time() - t0) * 1000), "[]"))
+    with open(f"{out_dir}/_INDEX_META.json", "w") as f:
+        json.dump({"n_shards": n_shards, "salt_rows": salt_rows,
+                   "block_size": block_size, "n_docs": int(n_docs),
+                   "avgdl": avgdl}, f)
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_groups: int | None = None,
+    n_shards: int = 16,
+    salt_rows: int = 1_000_000,
+    doc_meta: DataFrame | None = None,
+) -> None:
+    """Full build: checkpointed runs then merge. Safe to re-invoke after a
+    failure — completed run groups are skipped via the ledger."""
+    build_runs(spark, docs, out_dir, id_col, text_col, n_groups)
+    merge_index(spark, out_dir, n_shards=n_shards, salt_rows=salt_rows,
+                doc_meta=doc_meta)

@@ -1,0 +1,196 @@
+"""Query serving over the compressed term-sharded index with block-max
+pruning — the scale path for the reference's search
+(`colbert_live/colbert_live.py:146-208`).
+
+Plan shape per batch of queries:
+1. driver tokenizes queries (tiny; T1 analog `colbert_live/models.py:92-93`),
+2. dictionary lookup for matched terms — ``term_id IN (...)`` filter, pushed
+   to parquet row-group pruning (the analog of the reference's per-token
+   index probe, `colbert_live/db/astra.py:235-247`),
+3. matched posting blocks ⋈ broadcast(query terms) on term_id,
+4. ``groupBy(query_id).applyInPandas`` — all of a query's compressed lists
+   co-located; inside, a vectorized term-at-a-time MaxScore traversal with
+   block-max + skip-pointer skipping produces the exact top-k,
+5. output is already (query_id, rank, doc_id, score) — no further shuffle.
+
+Safe-pruning invariant (tested): pruned output == unpruned output exactly.
+The pruning logic: process term lists in descending list-max-impact order,
+maintaining a sorted accumulator of (doc_id, partial score). θ = k-th largest
+accumulated score (a valid lower bound: scores only grow). New docs are
+admitted only while Σ max-impact of the remaining lists ≥ θ — a doc first
+seen later can never reach θ. Once admission closes, a block is decoded only
+if its [first_doc, last_doc] range intersects the accumulator (skip
+pointers); accumulated docs always receive exact contributions, so surviving
+scores are exact. This is the inverted-index re-expression of the
+reference's two-phase cheap-candidates→exact-rescore design
+(`colbert_live/colbert_live.py:189-204`).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from colbert_live_spark.functions.tokenize import py_tokenize
+from colbert_live_spark.index.codec import bm25_weight_np, varint_decode
+
+OUT_SCHEMA = "query_id string, rank int, doc_id long, score double"
+
+
+def _decode_many(first_docs, ns, docs_blobs, tfs_blobs, dls_blobs):
+    """Decode a set of blocks into flat (doc_ids, tfs, dls) arrays."""
+    d_parts, t_parts, l_parts = [], [], []
+    for fd, n, db, tb, lb in zip(first_docs, ns, docs_blobs, tfs_blobs, dls_blobs):
+        deltas = varint_decode(db, n - 1)
+        d = np.empty(n, dtype=np.int64)
+        d[0] = fd
+        if n > 1:
+            d[1:] = fd + np.cumsum(deltas.astype(np.int64))
+        d_parts.append(d)
+        t_parts.append(varint_decode(tb, n).astype(np.int64))
+        l_parts.append(varint_decode(lb, n).astype(np.int64))
+    if not d_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (np.concatenate(d_parts), np.concatenate(t_parts),
+            np.concatenate(l_parts))
+
+
+def _merge_acc(acc_d, acc_s, new_d, new_s):
+    """Merge sorted accumulator with new (doc, score) contributions."""
+    d = np.concatenate([acc_d, new_d])
+    s = np.concatenate([acc_s, new_s])
+    uniq, inv = np.unique(d, return_inverse=True)
+    out = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(out, inv, s)
+    return uniq, out
+
+
+def score_query_blocks(
+    pdf: pd.DataFrame,
+    avgdl: float,
+    k: int,
+    prune: bool = True,
+    stats: dict | None = None,
+) -> pd.DataFrame:
+    """Exact top-k for one query from its matched compressed blocks.
+
+    pdf columns: term_id, salt, block_id, first_doc, last_doc, n, max_weight,
+    docs, tfs, dls, qtf, idf, query_id.
+    """
+    qid = pdf["query_id"].iloc[0]
+    # per-term list-level max impact σ_t = qtf·idf·max(block max_weight)
+    g = pdf.groupby("term_id", sort=False)
+    sigma = (g["max_weight"].max()
+             * g["qtf"].first() * g["idf"].first()).sort_values(ascending=False)
+    term_order = sigma.index.to_numpy()
+    sigma_v = sigma.to_numpy()
+    suffix = np.concatenate([np.cumsum(sigma_v[::-1])[::-1], [0.0]])
+
+    acc_d = np.zeros(0, dtype=np.int64)
+    acc_s = np.zeros(0, dtype=np.float64)
+    total_blocks = len(pdf)
+    decoded_blocks = 0
+    admission = True
+    for ti, term_id in enumerate(term_order):
+        rows = pdf[pdf["term_id"] == term_id]
+        qtf = float(rows["qtf"].iloc[0])
+        idf = float(rows["idf"].iloc[0])
+        theta = (np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+                 if acc_s.size >= k else 0.0)
+        if prune and admission and suffix[ti] < theta:
+            admission = False
+        if prune and not admission:
+            if acc_d.size == 0:
+                break
+            lo = np.searchsorted(acc_d, rows["first_doc"].to_numpy())
+            hi = np.searchsorted(acc_d, rows["last_doc"].to_numpy(), side="right")
+            keep = hi > lo
+            # block-max refinement: a surviving block still can't matter if
+            # θ already dominates every accumulated doc's bound... exactness
+            # for accumulated docs forbids skipping intersecting blocks.
+            rows = rows[keep]
+        decoded_blocks += len(rows)
+        d, tf, dl = _decode_many(rows["first_doc"].to_numpy(),
+                                 rows["n"].to_numpy(),
+                                 rows["docs"].to_list(),
+                                 rows["tfs"].to_list(),
+                                 rows["dls"].to_list())
+        if d.size == 0:
+            continue
+        # salted sub-lists are doc-disjoint but interleaved: sort for merge
+        if not np.all(d[:-1] <= d[1:]):
+            order = np.argsort(d, kind="stable")
+            d, tf, dl = d[order], tf[order], dl[order]
+        w = qtf * idf * bm25_weight_np(tf, dl, avgdl)
+        if prune and not admission:
+            pos = np.searchsorted(acc_d, d)
+            pos_c = np.minimum(pos, acc_d.size - 1)
+            hit = acc_d[pos_c] == d
+            np.add.at(acc_s, pos_c[hit], w[hit])
+        else:
+            acc_d, acc_s = _merge_acc(acc_d, acc_s, d, w)
+    if stats is not None:
+        stats["blocks_total"] = stats.get("blocks_total", 0) + total_blocks
+        stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + decoded_blocks
+    if acc_d.size == 0:
+        return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+    kk = min(k, acc_d.size)
+    # top-k with deterministic (score DESC, doc_id ASC) order
+    order = np.lexsort((acc_d, -acc_s))[:kk]
+    return pd.DataFrame({
+        "query_id": qid,
+        "rank": np.arange(1, kk + 1, dtype=np.int32),
+        "doc_id": acc_d[order],
+        "score": acc_s[order],
+    })
+
+
+def matched_query_terms(spark: SparkSession, index_dir: str,
+                        queries: list[tuple[str, str]]) -> DataFrame:
+    """(query_id, term_id, qtf, idf) for terms present in the dictionary."""
+    all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
+    dict_df = (spark.read.parquet(f"{index_dir}/dict")
+               .filter(F.col("term").isin(all_terms))
+               .select("term", "term_id", "idf"))
+    rows = []
+    for qid, qtext in queries:
+        counts: dict[str, int] = {}
+        for t in py_tokenize(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in sorted(counts.items()):
+            rows.append((qid, term, qtf))
+    qdf = spark.createDataFrame(rows, "query_id string, term string, qtf int")
+    return qdf.join(dict_df, "term").select("query_id", "term_id", "qtf", "idf")
+
+
+def wand_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    prune: bool = True,
+) -> DataFrame:
+    """Batched top-k over a built index. Returns
+    (query_id, rank, doc_id, score)."""
+    with open(f"{index_dir}/_INDEX_META.json") as f:
+        meta = json.load(f)
+    avgdl = float(meta["avgdl"])
+
+    qterms = matched_query_terms(spark, index_dir, queries)
+    term_ids = [r.term_id for r in
+                qterms.select("term_id").distinct().collect()]
+    if not term_ids:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    postings = (spark.read.parquet(f"{index_dir}/postings")
+                .filter(F.col("term_id").isin(term_ids)))
+    blocks = postings.join(F.broadcast(qterms), "term_id")
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_query_blocks(pdf, avgdl=avgdl, k=k, prune=prune)
+
+    return blocks.groupBy("query_id").applyInPandas(run, schema=OUT_SCHEMA)

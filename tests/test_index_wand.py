@@ -1,0 +1,116 @@
+"""Compressed-index build + WAND query path: rank-identity vs oracle,
+pruned == unpruned (safe pruning), checkpoint/resume equivalence."""
+from __future__ import annotations
+
+import math
+import shutil
+
+import pytest
+
+from colbert_live_spark.index.builder import build_index, build_runs, merge_index
+from colbert_live_spark.operators.wand import wand_search
+from colbert_live_spark.oracle import oracle_search
+from colbert_live_spark.queryset import DOC_QUERIES
+
+K = 10
+ATOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, documents, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index") / "idx")
+    # salt_rows tiny to force multi-salt sub-lists on head terms (all terms
+    # here have df≈450 → 5 salts): exercises the salted-merge path at test SF
+    build_index(spark, documents, out, n_groups=4, n_shards=4, salt_rows=100)
+    return out
+
+
+def _collect(df):
+    out = {}
+    for r in df.orderBy("query_id", "rank").collect():
+        out.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    return out
+
+
+def test_wand_rank_identical_to_oracle(spark, index_dir, oracle_index):
+    got = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=K))
+    for qid, qtext in DOC_QUERIES:
+        expect = oracle_search(oracle_index, qtext, k=K)
+        g = got.get(qid, [])
+        assert [d for d, _ in g] == [d for d, _ in expect], (qid, qtext)
+        for (gd, gs), (ed, es) in zip(g, expect):
+            assert math.isclose(gs, es, abs_tol=ATOL), (qid, gd, gs, es)
+
+
+def test_pruned_equals_unpruned(spark, index_dir):
+    pruned = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=K, prune=True))
+    full = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=K, prune=False))
+    assert pruned == full  # exact float equality — WAND is safe pruning
+
+
+def test_pruning_skips_blocks():
+    """The pruning machinery must actually skip block decodes on a
+    skew-shaped query (rare high-idf term + common low-idf term, small k) —
+    a pure unit test over synthetic encoded lists."""
+    import numpy as np
+    import pandas as pd
+    from colbert_live_spark.index.codec import encode_posting_list
+    from colbert_live_spark.operators.wand import score_query_blocks
+
+    rng = np.random.default_rng(7)
+    n_docs, avgdl = 20_000, 100.0
+
+    def make_blocks(term_id, doc_ids, tf_hi, idf, qtf=1):
+        tfs = rng.integers(1, tf_hi + 1, doc_ids.size).astype(np.int64)
+        dls = rng.integers(50, 200, doc_ids.size).astype(np.int64)
+        blocks = encode_posting_list(doc_ids, tfs, dls, avgdl, block_size=64)
+        pdf = pd.DataFrame(blocks)
+        pdf.insert(0, "salt", 0)
+        pdf.insert(0, "term_id", term_id)
+        pdf["qtf"], pdf["idf"], pdf["query_id"] = qtf, idf, "p1"
+        return pdf
+
+    rare = np.sort(rng.choice(n_docs, 40, replace=False)).astype(np.int64)
+    common = np.sort(rng.choice(n_docs, 8000, replace=False)).astype(np.int64)
+    blocks = pd.concat([make_blocks(1, rare, 3, idf=6.0),
+                        make_blocks(2, common, 5, idf=0.4)], ignore_index=True)
+
+    stats: dict = {}
+    pruned = score_query_blocks(blocks, avgdl=avgdl, k=3, prune=True,
+                                stats=stats)
+    full = score_query_blocks(blocks, avgdl=avgdl, k=3, prune=False)
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+    assert pruned.equals(full)
+
+
+def test_checkpoint_resume_equivalence(spark, documents, tmp_path_factory,
+                                       oracle_index):
+    """Kill after 2 of 4 run groups, resume, assert (a) only pending groups
+    re-processed, (b) resumed index answers rank-identically
+    (FIXTURES.md §5; reference analog `example/bench/lotte.py:67-83`)."""
+    out = str(tmp_path_factory.mktemp("resume") / "idx")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_runs(spark, documents, out, n_groups=4, fail_after_group=2)
+    from colbert_live_spark.index.builder import completed_groups
+    done = completed_groups(spark, out)
+    assert len(done) == 2
+    processed = build_runs(spark, documents, out, n_groups=4)
+    assert len(processed) == 2 and set(processed).isdisjoint(done)
+    merge_index(spark, out, n_shards=4, salt_rows=100)
+    got = _collect(wand_search(spark, out, DOC_QUERIES, k=K))
+    for qid, qtext in DOC_QUERIES:
+        expect = oracle_search(oracle_index, qtext, k=K)
+        assert [d for d, _ in got.get(qid, [])] == [d for d, _ in expect]
+    # ledger has lineage + metrics rows for all 4 groups + merge stage
+    ledger = spark.read.parquet(f"{out}/ledger")
+    rows = {(r.gid, r.stage) for r in ledger.collect()}
+    assert {(g, "runs") for g in range(4)}.issubset(rows)
+    assert (-1, "merge") in rows
+    mrow = [r for r in ledger.collect() if r.stage == "runs"][0]
+    assert mrow.n_postings > 0 and mrow.bytes > 0 and mrow.wall_ms >= 0
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_empty_query_no_rows(spark, index_dir):
+    got = wand_search(spark, index_dir, [("qx", "zzzmissing")], k=K)
+    assert got.count() == 0
