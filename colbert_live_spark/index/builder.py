@@ -36,7 +36,6 @@ import math
 import os
 import time
 
-from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -143,35 +142,9 @@ def build_runs(
 
 def _dense_term_ids(spark: SparkSession, terms: DataFrame,
                     n_parts: int) -> DataFrame:
-    """(term, df) → (term, term_id dense 0..V-1, df). zipWithIndex pattern:
-    range-partition by term, per-partition offsets from a counts pre-pass."""
-    # persist: the counts pre-pass and the assignment pass must see the SAME
-    # range partitioning (range boundaries are sample-based)
-    parted = (terms.repartitionByRange(n_parts, "term")
-                   .sortWithinPartitions("term")).persist()
-    counts = {r.p: r.c for r in parted.select(
-        F.spark_partition_id().alias("p")).groupBy("p").agg(
-        F.count(F.lit(1)).alias("c")).collect()}
-    offsets = {}
-    acc = 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    bc = spark.sparkContext.broadcast(offsets)
-
-    def assign(it):
-        pid = TaskContext.get().partitionId()
-        base = bc.value.get(pid, 0)
-        seen = 0
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["term_id"] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in parted.schema.fields) + ", term_id long"
-    return parted.mapInPandas(assign, schema=out_schema)
+    """(term, df) -> (term, df, term_id dense 0..V-1)."""
+    from colbert_live_spark.index.ids import assign_dense_ids
+    return assign_dense_ids(terms, "term", "term_id", n_parts)
 
 
 def merge_index(
