@@ -231,6 +231,13 @@ def q_rankings_sink(spark, sf_dir):
 # -------------------------------------------------------------- oracle SQL
 
 def oracle_map() -> dict[str, str]:
+    from colbert_live_spark import entry_queries_pipeline as pipeline
+    base = dict(pipeline.oracle_map())
+    base.update(_core_oracle_map())
+    return base
+
+
+def _core_oracle_map() -> dict[str, str]:
     rrf_sql = f"""
 {_BM25_CTES},
 per_term AS (
@@ -347,6 +354,13 @@ FROM ranked WHERE rank <= 10
 
 
 def query_map():
+    from colbert_live_spark import entry_queries_pipeline as pipeline
+    base = dict(pipeline.query_map())
+    base.update(_core_query_map())
+    return base
+
+
+def _core_query_map():
     return {
         "postings_build": q_postings,
         "doc_stats": q_doc_stats,

@@ -1,0 +1,326 @@
+"""queries()/oracle_sql() entries for the training-data pipeline operators:
+dedup family, similarity search, text analysis. Split from entry_queries.py
+to keep module size sane; merged by __spark_entry__ via query_map/oracle_map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from colbert_live_spark.functions import textstats as ts
+from colbert_live_spark.functions.tokenize import DUCKDB_TOKENIZE
+from colbert_live_spark.operators import dedup, similarity
+
+ROUND = 6
+NGRAM = 3
+JACCARD_T = 0.5
+MINHASH_N, MINHASH_BANDS = 16, 4
+SIMHASH_BITS, SIMHASH_HAM = 60, 8
+NEARDUP_COS = 0.45
+KNN_QUERIES = [0, 1, 2, 3, 4]
+KNN_K = 10
+IVF_C, IVF_PROBE = 16, 4
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tok(col: str = "text") -> str:
+    return DUCKDB_TOKENIZE.format(col=col)
+
+
+# ------------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dup_pairs(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=NGRAM,
+                                      threshold=JACCARD_T)
+            .withColumn("jaccard", F.round("jaccard", ROUND)))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=MINHASH_N,
+                                    bands=MINHASH_BANDS, n=NGRAM,
+                                    threshold=JACCARD_T)
+            .withColumn("jaccard", F.round("jaccard", ROUND)))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_dup_pairs(_docs(spark, sf_dir),
+                                   max_hamming=SIMHASH_HAM, bits=SIMHASH_BITS)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return (dedup.embedding_neardup_pairs(_emb(spark, sf_dir),
+                                          threshold=NEARDUP_COS)
+            .withColumn("cos", F.round("cos", ROUND)))
+
+
+# ------------------------------------------------------------- similarity
+
+def q_knn_bruteforce(spark, sf_dir):
+    return (similarity.knn_bruteforce(_emb(spark, sf_dir), KNN_QUERIES, KNN_K)
+            .withColumn("cos", F.round("cos", ROUND)))
+
+
+def q_knn_ivf(spark, sf_dir):
+    return (similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERIES, KNN_K,
+                               n_centroids=IVF_C, nprobe=IVF_PROBE)
+            .withColumn("cos", F.round("cos", ROUND)))
+
+
+# ------------------------------------------------------------ text stats
+
+def q_text_stats(spark, sf_dir):
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        F.round(ts.punct_ratio(t), ROUND).alias("punct_ratio"),
+        F.round(ts.stopword_ratio(t), ROUND).alias("stopword_ratio"),
+        F.round(ts.quality_score(t), ROUND).alias("quality"))
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+
+
+# -------------------------------------------------------------- oracles
+
+_SHINGLES = f"""
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(toks) - {NGRAM} + 2),
+      i -> array_to_string(toks[i:i+{NGRAM - 1}], ' '))) AS shingle
+    FROM (SELECT doc_id, {_tok()} AS toks FROM documents)
+    WHERE len(toks) >= {NGRAM})
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = f"""
+SELECT c.doc_a, c.doc_b,
+       round(c.common / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE), {ROUND})
+         AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.common / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE) >= {JACCARD_T}
+"""
+
+_SIMHASH_CTES = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_tok()}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM tf CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
+  GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+_VECS = "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+_COS = ("list_dot_product({a}.e, {b}.e) / (sqrt(list_dot_product({a}.e, {a}.e))"
+        " * sqrt(list_dot_product({b}.e, {b}.e)))")
+
+
+def oracle_map() -> dict[str, str]:
+    cos_ab = _COS.format(a="a", b="b")
+    knn_body = f"""
+WITH {_VECS},
+q AS (SELECT vec_id AS query_id, e AS qe FROM vecs
+      WHERE vec_id IN ({", ".join(map(str, KNN_QUERIES))})),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         list_dot_product(q.qe, a.e) / (sqrt(list_dot_product(q.qe, q.qe))
+           * sqrt(list_dot_product(a.e, a.e))) AS cos
+  FROM vecs a CROSS JOIN q WHERE a.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, round(cos, {ROUND}) AS cos
+FROM ranked WHERE rank <= {KNN_K}
+"""
+    ivf_body = f"""
+WITH {_VECS},
+cents AS (
+  SELECT vec_id AS centroid_id, e AS ce FROM vecs
+  ORDER BY vec_id LIMIT {IVF_C}
+),
+assign_scored AS (
+  SELECT v.vec_id, v.e, c.centroid_id,
+         list_dot_product(v.e, c.ce) / (sqrt(list_dot_product(v.e, v.e))
+           * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+  FROM vecs v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id ASC) AS r
+    FROM assign_scored) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM vecs
+      WHERE vec_id IN ({", ".join(map(str, KNN_QUERIES))})),
+qprobe AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+           list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe))
+             * sqrt(list_dot_product(c.ce, c.ce))) AS cos,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qe, c.ce)
+                                / (sqrt(list_dot_product(q.qe, q.qe))
+                                   * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+                              c.centroid_id ASC) AS r
+    FROM q CROSS JOIN cents c) WHERE r <= {IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.qe, a.e) / (sqrt(list_dot_product(p.qe, p.qe))
+           * sqrt(list_dot_product(a.e, a.e))) AS cos
+  FROM assigned a JOIN qprobe p ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, round(cos, {ROUND}) AS cos
+FROM ranked WHERE rank <= {KNN_K}
+"""
+    return {
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+g AS (SELECT h, min(doc_id) AS keep_doc_id FROM h
+      GROUP BY h HAVING count(*) > 1)
+SELECT g.keep_doc_id, h.doc_id AS dup_doc_id
+FROM h JOIN g USING (h) WHERE h.doc_id != g.keep_doc_id
+""",
+        "ngram_jaccard": f"""
+WITH {_SHINGLES},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+{_JACCARD_TAIL}
+""",
+        "minhash_lsh": f"""
+WITH {_SHINGLES},
+sig AS (
+  SELECT doc_id, perm,
+         min(('0x' || substr(md5(perm::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
+           AS minhash
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, {MINHASH_N})) AS perm)
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, (perm // {MINHASH_N // MINHASH_BANDS}) AS band,
+         md5(array_to_string(list_sort(list(perm::VARCHAR || ':'
+             || minhash::VARCHAR)), ',')) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+{_JACCARD_TAIL}
+""",
+        "simhash_signatures": _SIMHASH_CTES + "SELECT doc_id, simhash FROM sig",
+        "simhash_pairs": _SIMHASH_CTES + f""",
+chunks AS (
+  SELECT doc_id, simhash, ck::VARCHAR || ':'
+         || (((simhash >> (ck * 15)) & 32767)::VARCHAR) AS chunk
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS ck)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                  b.doc_id AS doc_b, b.simhash AS sig_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAM}
+""",
+        "embedding_neardup": f"""
+WITH {_VECS}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, {ROUND}) AS cos
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE {cos_ab} >= {NEARDUP_COS}
+""",
+        "knn_bruteforce": knn_body,
+        "knn_ivf": ivf_body,
+        "text_stats": f"""
+SELECT doc_id,
+       {ts.sql_token_count('text')}::INT AS n_tokens,
+       round({ts.sql_punct_ratio('text')}, {ROUND}) AS punct_ratio,
+       round({ts.sql_stopword_ratio('text')}, {ROUND}) AS stopword_ratio,
+       round({ts.sql_quality_score('text')}, {ROUND}) AS quality
+FROM documents
+""",
+        "lang_id": f"""
+SELECT doc_id, {ts.sql_lang_id('text')} AS lang_pred FROM documents
+""",
+        "fingerprint": f"""
+SELECT doc_id, {ts.sql_fingerprint('text')} AS fp FROM documents
+""",
+    }
+
+
+def query_map():
+    return {
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_signatures": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+    }

@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashes are engine-portable (md5-hex prefixes → integers) so every
+operator has an exact DuckDB oracle; all heavy work is JVM-side DataFrame
+ops. Scale notes per operator:
+
+- exact: one hash-groupBy shuffle; at 100 TB hash first (md5 of text) so the
+  shuffle moves 16-byte keys, not bodies.
+- ngram-jaccard: exact pairs via the shingle inverted-index self-join —
+  quadratic only inside a shingle bucket. At web scale the frequency cap
+  (drop shingles with df > cap, standard in e.g. suffix-array dedup
+  pipelines) and/or the MinHash-LSH variant below bound the join; the LSH
+  variant is the honest 100 TB path, with the exact verify join running only
+  on candidate pairs.
+- minhash-lsh: signatures via one groupBy-min per (doc, perm); banding turns
+  near-dup search into an equi-join on band keys — no pairwise scan ever
+  materializes outside candidate buckets.
+- simhash: 60-bit signature from per-term hash bit votes; near-dup pairs via
+  4×15-bit band join + exact hamming verify (bit_count(xor)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from colbert_live_spark.functions.tokenize import tokenize_expr
+
+# portable 60-bit hash: int of first 15 hex chars of md5
+def _h60(col, salt=None):
+    src = col if salt is None else F.concat(F.lit(f"{salt}:"), col)
+    return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
+
+
+def exact_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(keep_doc_id, dup_doc_id) — exact duplicates by text hash; the
+    lowest doc id in each group is canonical."""
+    hashed = docs.select(F.col(id_col).alias("doc_id"),
+                         F.md5(F.col(text_col)).alias("h"))
+    groups = (hashed.groupBy("h")
+              .agg(F.min("doc_id").alias("keep_doc_id"),
+                   F.collect_list("doc_id").alias("members"))
+              .filter(F.size("members") > 1))
+    return (groups.select("keep_doc_id",
+                          F.explode("members").alias("dup_doc_id"))
+            .filter(F.col("dup_doc_id") != F.col("keep_doc_id"))
+            .select("keep_doc_id", "dup_doc_id"))
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, JVM-side via transform
+    over the token array."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize_expr(text_col).alias("t"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)))
+    return (toks.filter(F.size("t") >= n)
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, jaccard) exact n-gram Jaccard ≥ threshold, a < b."""
+    sh = shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("common")
+                     / (F.col("na") + F.col("nb") - F.col("common"))
+                     ).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, perm, minhash) — one row per permutation; portable hashes."""
+    sh = shingles(docs, n, id_col, text_col)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("perm")
+    expanded = sh.select("doc_id", "shingle", perms)
+    return (expanded
+            .select("doc_id", "perm",
+                    _h60(F.concat(F.col("perm").cast("string"), F.lit(":"),
+                                  F.col("shingle"))).alias("h"))
+            .groupBy("doc_id", "perm").agg(F.min("h").alias("minhash")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
+                      n: int = 3, threshold: float = 0.5,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH-banded candidates, exact-verified.
+
+    rows-per-band = n_hashes / bands. Candidates = docs sharing any band
+    key; the expensive exact Jaccard join runs only on candidates.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
+    band_keys = (sig.withColumn("band", (F.col("perm") / rows_per_band)
+                                .cast("int"))
+                 .groupBy("doc_id", "band")
+                 .agg(F.md5(F.concat_ws(",", F.sort_array(
+                     F.collect_list(F.concat_ws(":", "perm", "minhash"))))
+                 ).alias("band_key")))
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")).distinct())
+    sh = shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (cand.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
+              .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("common")
+                     / (F.col("na") + F.col("nb") - F.col("common"))
+                     ).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, bits: int = 60, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — tf-weighted bit votes over portable term hashes.
+
+    Pure JVM: explode (term, bit) pairs; at scale this is a single
+    map-side-combined groupBy (docs × vocab × bits rows never materialize —
+    Catalyst pipelines explode into the partial agg).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokenize_expr(text_col).alias("t"))
+    tf = (toks.select("doc_id", F.explode("t").alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .withColumn("h", _h60(F.col("term"))))
+    votes = (tf.select("doc_id", "tf", "h",
+                       F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
+                       .alias("bit"))
+             .withColumn("vote",
+                         F.when(F.expr("(h >> bit) & 1") == 1,
+                                F.col("tf")).otherwise(-F.col("tf"))))
+    bitvals = (votes.groupBy("doc_id", "bit")
+               .agg(F.sum("vote").alias("v"))
+               .withColumn("bitval",
+                           F.when(F.col("v") > 0,
+                                  F.expr("shiftleft(1L, bit)"))
+                           .otherwise(F.lit(0).cast("long"))))
+    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidates via 4 × 15-bit chunk equality (any chunk equal → candidate;
+    complete for max_hamming ≤ 3 by pigeonhole, heuristic above), verified
+    exactly with bit_count(xor)."""
+    sig = simhash(docs, bits, id_col, text_col)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(i),
+                        F.shiftright("simhash", i * 15).bitwiseAND(0x7FFF))
+            for i in range(4)])).alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("b.simhash").alias("sig_b")).distinct())
+    return (cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(id_a, id_b, cos) — exact cosine near-dup pairs. JVM-side dot/norm
+    via zip_with + aggregate (no Python). Exact form = the oracle; the
+    LSH-bucketed scale path is operators/similarity.py."""
+    v = emb.select(F.col(id_col).alias("id"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("v"))
+    norm = v.withColumn(
+        "n", F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                                F.lit(0.0), lambda a, x: a + x)))
+    a = norm.alias("a")
+    b = norm.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    (dot / (F.col("a.n") * F.col("b.n"))).alias("cos"))
+            .filter(F.col("cos") >= threshold))
