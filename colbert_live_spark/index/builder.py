@@ -163,9 +163,11 @@ def merge_index(
     independent sorted lists of the same term.
     """
     t0 = time.time()
-    runs = spark.read.parquet(f"{out_dir}/runs")
+    runs = (spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{out_dir}/runs"))
 
-    dstats = spark.read.parquet(f"{out_dir}/doclens").select("doc_id", "dl")
+    dstats = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(f"{out_dir}/doclens").select("doc_id", "dl"))
     if doc_meta is not None:
         dstats = dstats.join(doc_meta, "doc_id", "left")
     dstats.write.mode("overwrite").parquet(f"{out_dir}/docs")

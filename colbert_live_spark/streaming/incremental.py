@@ -1,0 +1,49 @@
+"""Structured-Streaming ingestion into the segmented index.
+
+``readStream`` over a file source → ``foreachBatch(add_segment)`` with
+``Trigger.AvailableNow`` — each micro-batch becomes one searchable segment,
+the Spark-idiomatic form of the reference's insert-then-immediately-query
+liveness (README.md:21-23). The stream checkpoint gives exactly-once
+micro-batches; segment registration is atomic via the manifest swap.
+
+No watermarks/stateful ops are needed (SURVEY.md §2.11: the reference has no
+stream-processing semantics — liveness is index maintenance, not windowing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from colbert_live_spark.index.segments import add_segment
+
+
+def ingest_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: StructType,
+    root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start (and by default drain) a file-source stream into segments.
+    Returns the StreamingQuery (already awaited if available_now)."""
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+              .parquet(input_path))
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_segment(spark, batch_df, root, id_col=id_col, text_col=text_col)
+
+    writer = (reader.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
