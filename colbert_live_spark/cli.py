@@ -1,0 +1,127 @@
+"""spark-submit entry points (north rule: packaged for
+``spark-submit --py-files`` on a multi-executor cluster).
+
+Usage (cluster):
+    zip -r colbert_live_spark.zip colbert_live_spark
+    spark-submit --py-files colbert_live_spark.zip jobs.py build \
+        --input /path/webpages_parquet --output /path/index \
+        --id-col doc_id --text-col text --n-shards 256 --salt-rows 1000000
+    spark-submit --py-files colbert_live_spark.zip jobs.py query \
+        --index /path/index --query "hash join" --k 10 --out /path/rankings
+
+Local: ``python -m colbert_live_spark.cli <cmd> ...`` (same args; a local
+SparkSession is created when none is provided by spark-submit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _get_spark(app: str):
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from colbert_live_spark.session import get_spark
+    return get_spark(app)
+
+
+def cmd_generate(args) -> None:
+    from colbert_live_spark.sources.webpages import generate_webpages_fast
+    spark = _get_spark("cls-generate")
+    df = generate_webpages_fast(spark, args.rows, args.partitions,
+                                include_html=args.html)
+    df.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": args.rows, "output": args.output}))
+
+
+def cmd_build(args) -> None:
+    from colbert_live_spark.index.builder import build_index
+    from colbert_live_spark.index.ids import assign_dense_ids
+    spark = _get_spark("cls-build")
+    docs = spark.read.parquet(args.input)
+    if args.id_col not in docs.columns:
+        docs = assign_dense_ids(docs, args.key_col, args.id_col)
+    t0 = time.time()
+    build_index(spark, docs, args.output, id_col=args.id_col,
+                text_col=args.text_col, n_groups=args.n_groups,
+                n_shards=args.n_shards, salt_rows=args.salt_rows)
+    wall = time.time() - t0
+    n = docs.count()
+    print(json.dumps({"n_docs": n, "wall_s": round(wall, 3),
+                      "docs_per_sec": round(n / wall, 1),
+                      "index": args.output}))
+
+
+def cmd_query(args) -> None:
+    from colbert_live_spark.operators.wand import wand_search
+    spark = _get_spark("cls-query")
+    if args.queries_tsv:
+        queries = []
+        with open(args.queries_tsv) as f:
+            for line in f:
+                qid, qtext = line.rstrip("\n").split("\t", 1)
+                queries.append((qid, qtext))
+    else:
+        queries = [("q0", args.query)]
+    t0 = time.time()
+    res = wand_search(spark, args.index, queries, k=args.k,
+                      prune=not args.no_prune)
+    if args.out:
+        from colbert_live_spark.sources.sinks import write_rankings_tsv
+        write_rankings_tsv(res, args.out)
+        n = spark.read.option("sep", "\t").csv(args.out).count()
+    else:
+        rows = res.collect()
+        n = len(rows)
+        for r in sorted(rows, key=lambda r: (r.query_id, r.rank))[:50]:
+            print(f"{r.query_id}\t{r.doc_id}\t{r.rank}\t{r.score:.6f}",
+                  file=sys.stderr)
+    wall = time.time() - t0
+    print(json.dumps({"n_queries": len(queries), "rows": n,
+                      "wall_s": round(wall, 3),
+                      "qps": round(len(queries) / wall, 2)}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser("colbert_live_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a synthetic webpages corpus")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--partitions", type=int, default=32)
+    g.add_argument("--html", action="store_true")
+    g.add_argument("--output", required=True)
+    g.set_defaults(fn=cmd_generate)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--key-col", default="url",
+                   help="PK used to assign dense ids when id-col is absent")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--n-groups", type=int, default=None)
+    b.add_argument("--n-shards", type=int, default=16)
+    b.add_argument("--salt-rows", type=int, default=1_000_000)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="run top-k queries against an index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", default=None)
+    q.add_argument("--queries-tsv", default=None)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--no-prune", action="store_true")
+    q.add_argument("--out", default=None)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

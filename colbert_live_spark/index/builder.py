@@ -122,13 +122,14 @@ def build_runs(
         else:
             part = docs.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)) == gid)
-        toks = _tokenized(part, id_col, text_col).persist()
+        toks = _tokenized(part, id_col, text_col)
         run_path = f"{out_dir}/runs/gid={gid}"
         _runs_from_tokens(toks).write.mode("overwrite").parquet(run_path)
+        # second pass re-tokenizes: cheaper than caching the token arrays
         toks.select("doc_id", F.size("tokens").alias("dl")).write.mode(
             "overwrite").parquet(f"{out_dir}/doclens/gid={gid}")
-        n_docs = toks.count()
-        toks.unpersist()
+        # counts from parquet footers — metadata-only jobs
+        n_docs = spark.read.parquet(f"{out_dir}/doclens/gid={gid}").count()
         n_post = spark.read.parquet(run_path).count()
         wall_ms = int((time.time() - t0) * 1000)
         _append_ledger(spark, out_dir, (
@@ -192,12 +193,16 @@ def merge_index(
 
     # The merge-shuffle: postings + term ids, salted, range-partitioned so
     # each (term_id, salt) group is contiguous and sorted by doc_id.
-    tagged = (runs.join(dict_df.select("term", "term_id", "n_salts"), "term")
+    tagged = (runs.join(F.broadcast(dict_df.select("term", "term_id",
+                                                   "n_salts")), "term")
               .select("term_id",
                       F.pmod(F.xxhash64("doc_id"), F.col("n_salts"))
                        .cast("int").alias("salt"),
                       "doc_id", "tf", "dl"))
-    parted = (tagged.repartitionByRange(n_shards, "term_id", "salt", "doc_id")
+    # hash repartition, not repartitionByRange: the range sampler would scan
+    # the whole join twice; hash keeps each (term_id, salt) group whole and
+    # the salt bound keeps groups balanced under Zipf skew
+    parted = (tagged.repartition(n_shards, "term_id", "salt")
                     .sortWithinPartitions("term_id", "salt", "doc_id"))
 
     def encode_partition(it):

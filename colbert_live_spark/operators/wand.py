@@ -41,6 +41,18 @@ from colbert_live_spark.index.codec import bm25_weight_np, varint_decode
 OUT_SCHEMA = "query_id string, rank int, doc_id long, score double"
 
 
+def expand_budget(k: int, a: float = 94.9, b: float = 11.0,
+                  c: float = -1.48) -> int:
+    """Candidate-budget heuristic, same shape as the reference's ``_expand``
+    (`colbert_live/colbert_live.py:14-20`: max(x, a + b·x + c·x·ln x) —
+    superlinear growth that decays as k grows; its fitted LoTTE constants
+    give f(10)=171). Used to cap the scorer's accumulator between term
+    lists: docs outside the top expand_budget(k) by upper bound can never
+    enter the final top-k."""
+    import math
+    return int(max(k, a + b * k + c * k * math.log(max(k, 2))))
+
+
 def _decode_many(first_docs, ns, docs_blobs, tfs_blobs, dls_blobs):
     """Decode a set of blocks into flat (doc_ids, tfs, dls) arrays."""
     d_parts, t_parts, l_parts = [], [], []
@@ -134,6 +146,15 @@ def score_query_blocks(
             np.add.at(acc_s, pos_c[hit], w[hit])
         else:
             acc_d, acc_s = _merge_acc(acc_d, acc_s, d, w)
+        # safe accumulator cap (C2 _expand analog): a doc whose score plus
+        # every remaining list's max impact is below θ can never reach the
+        # top-k — drop it. Bounds scorer memory on huge disjunctions.
+        cap = max(4 * k, expand_budget(k))
+        if prune and acc_s.size > cap:
+            th = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+            keep = acc_s + suffix[ti + 1] >= th
+            if int(keep.sum()) >= k:
+                acc_d, acc_s = acc_d[keep], acc_s[keep]
     if stats is not None:
         stats["blocks_total"] = stats.get("blocks_total", 0) + total_blocks
         stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + decoded_blocks
@@ -152,20 +173,31 @@ def score_query_blocks(
 
 def matched_query_terms(spark: SparkSession, index_dir: str,
                         queries: list[tuple[str, str]]) -> DataFrame:
-    """(query_id, term_id, qtf, idf) for terms present in the dictionary."""
+    """(query_id, term_id, qtf, idf) for terms present in the dictionary.
+    One driver job (dictionary point-lookup, term-pruned by parquet stats);
+    the per-query expansion happens driver-side — queries are tiny (the T1
+    query-encode analog, `colbert_live/models.py:92-93`)."""
+    return spark.createDataFrame(
+        _matched_query_rows(spark, index_dir, queries),
+        "query_id string, term_id long, qtf int, idf double")
+
+
+def _matched_query_rows(spark, index_dir, queries):
     all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
-    dict_df = (spark.read.parquet(f"{index_dir}/dict")
-               .filter(F.col("term").isin(all_terms))
-               .select("term", "term_id", "idf"))
+    matched = {r.term: (r.term_id, r.idf) for r in
+               (spark.read.parquet(f"{index_dir}/dict")
+                .filter(F.col("term").isin(all_terms))
+                .select("term", "term_id", "idf").collect())}
     rows = []
     for qid, qtext in queries:
         counts: dict[str, int] = {}
         for t in py_tokenize(qtext):
             counts[t] = counts.get(t, 0) + 1
         for term, qtf in sorted(counts.items()):
-            rows.append((qid, term, qtf))
-    qdf = spark.createDataFrame(rows, "query_id string, term string, qtf int")
-    return qdf.join(dict_df, "term").select("query_id", "term_id", "qtf", "idf")
+            if term in matched:
+                tid, idf = matched[term]
+                rows.append((qid, tid, qtf, float(idf)))
+    return rows
 
 
 def wand_search(
@@ -181,11 +213,12 @@ def wand_search(
         meta = json.load(f)
     avgdl = float(meta["avgdl"])
 
-    qterms = matched_query_terms(spark, index_dir, queries)
-    term_ids = [r.term_id for r in
-                qterms.select("term_id").distinct().collect()]
+    qrows = _matched_query_rows(spark, index_dir, queries)
+    term_ids = sorted({r[1] for r in qrows})
     if not term_ids:
         return spark.createDataFrame([], OUT_SCHEMA)
+    qterms = spark.createDataFrame(
+        qrows, "query_id string, term_id long, qtf int, idf double")
     postings = (spark.read.parquet(f"{index_dir}/postings")
                 .filter(F.col("term_id").isin(term_ids)))
     blocks = postings.join(F.broadcast(qterms), "term_id")
