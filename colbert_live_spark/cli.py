@@ -22,10 +22,18 @@ import time
 
 
 def _get_spark(app: str):
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
+    if SparkConf().contains("spark.master"):
+        # launched via spark-submit: inherit master/conf from the submit
+        spark = (SparkSession.builder.appName(app)
+                 .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
     from colbert_live_spark.session import get_spark
     return get_spark(app)
 

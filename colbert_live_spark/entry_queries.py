@@ -195,6 +195,15 @@ def q_bm25_topk_wand(spark, sf_dir):
     return _round_score(wand_search(spark, idx, DOC_QUERIES, k=10))
 
 
+def q_bm25_conjunctive_wand(spark, sf_dir):
+    """Posting-list intersection over the compressed index (merge-based
+    with skip-pointer block pruning) — same oracle as bm25_conjunctive."""
+    from colbert_live_spark.operators.wand import wand_search
+    idx = built_index(spark, sf_dir)
+    return _round_score(wand_search(spark, idx, DOC_QUERIES, k=10,
+                                    conjunctive=True))
+
+
 def q_rrf_fusion(spark, sf_dir):
     """C4: literal reciprocal-rank fusion (rrf_k=60,
     `colbert_live/colbert_live.py:189-194`) across per-term rankings."""
@@ -323,6 +332,7 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM 
         "bm25_topk": _bm25_topk_sql(k=10),
         "bm25_topk_wand": _bm25_topk_sql(k=10),
         "bm25_conjunctive": _bm25_topk_sql(k=10, conjunctive=True),
+        "bm25_conjunctive_wand": _bm25_topk_sql(k=10, conjunctive=True),
         "bm25_lang_filtered": _bm25_topk_sql(k=10).replace(
             "FROM documents", "FROM (SELECT * FROM documents WHERE lang = 'en')"),
         "topk_payload": payload_sql,
@@ -369,6 +379,7 @@ def _core_query_map():
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_conjunctive_wand": q_bm25_conjunctive_wand,
         "bm25_lang_filtered": q_bm25_lang_filtered,
         "topk_payload": q_topk_payload,
         "rrf_fusion": q_rrf_fusion,

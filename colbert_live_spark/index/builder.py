@@ -71,19 +71,53 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def completed_groups(spark: SparkSession, out_dir: str) -> set[int]:
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers, driver-side (no Spark job)."""
+    import pyarrow.parquet as pq
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def _ledger_files(out_dir: str) -> list[str]:
     ledger = f"{out_dir}/ledger"
-    if not os.path.isdir(ledger) or not any(
-            f.endswith(".parquet") for f in os.listdir(ledger)):
-        return set()
-    rows = (spark.read.parquet(ledger)
-            .filter(F.col("stage") == "runs").select("gid").collect())
-    return {r.gid for r in rows}
+    if not os.path.isdir(ledger):
+        return []
+    return [os.path.join(ledger, f) for f in sorted(os.listdir(ledger))
+            if f.endswith(".parquet")]
+
+
+def completed_groups(spark: SparkSession, out_dir: str) -> set[int]:
+    import pyarrow.parquet as pq
+    done: set[int] = set()
+    for f in _ledger_files(out_dir):
+        t = pq.read_table(f, columns=["gid", "stage"]).to_pylist()
+        done.update(r["gid"] for r in t if r["stage"] == "runs")
+    return done
 
 
 def _append_ledger(spark: SparkSession, out_dir: str, row: tuple) -> None:
-    spark.createDataFrame([row], LEDGER_SCHEMA).coalesce(1).write.mode(
-        "append").parquet(f"{out_dir}/ledger")
+    """Driver-side pyarrow append — the commit record must not cost a Spark
+    job (it was 1-6s of fixed overhead per group as a Spark write). One file
+    per commit keeps appends atomic (write temp + rename)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(f"{out_dir}/ledger", exist_ok=True)
+    names = [f.split(" ")[0] for f in LEDGER_SCHEMA.split(", ")]
+    table = pa.table({n: [v] for n, v in zip(names, row)},
+                     schema=pa.schema([
+                         ("gid", pa.int32()), ("stage", pa.string()),
+                         ("n_docs", pa.int64()), ("n_postings", pa.int64()),
+                         ("bytes", pa.int64()), ("wall_ms", pa.int64()),
+                         ("files", pa.string())]))
+    tmp = f"{out_dir}/ledger/.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, f"{out_dir}/ledger/commit-{uuid.uuid4().hex}.parquet")
 
 
 def build_runs(
@@ -128,9 +162,9 @@ def build_runs(
         # second pass re-tokenizes: cheaper than caching the token arrays
         toks.select("doc_id", F.size("tokens").alias("dl")).write.mode(
             "overwrite").parquet(f"{out_dir}/doclens/gid={gid}")
-        # counts from parquet footers — metadata-only jobs
-        n_docs = spark.read.parquet(f"{out_dir}/doclens/gid={gid}").count()
-        n_post = spark.read.parquet(run_path).count()
+        # counts from parquet footers — driver-side, no Spark jobs
+        n_docs = _parquet_rows(f"{out_dir}/doclens/gid={gid}")
+        n_post = _parquet_rows(run_path)
         wall_ms = int((time.time() - t0) * 1000)
         _append_ledger(spark, out_dir, (
             gid, "runs", n_docs, n_post, _dir_bytes(run_path), wall_ms,
@@ -174,11 +208,18 @@ def merge_index(
     dstats.write.mode("overwrite").parquet(f"{out_dir}/docs")
     dstats = spark.read.parquet(f"{out_dir}/docs")
 
-    cstats = dstats.agg(F.count(F.lit(1)).alias("n_docs"),
-                        F.avg("dl").alias("avgdl"))
-    cstats.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
-    st = spark.read.parquet(f"{out_dir}/stats").collect()[0]
+    st = dstats.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = st.n_docs, float(st.avgdl)
+    # stats table written driver-side (single row — not worth a Spark job)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(f"{out_dir}/stats", exist_ok=True)
+    pq.write_table(
+        pa.table({"n_docs": [int(n_docs)], "avgdl": [avgdl]},
+                 schema=pa.schema([("n_docs", pa.int64()),
+                                   ("avgdl", pa.float64())])),
+        f"{out_dir}/stats/stats.parquet")
 
     df_t = runs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     dict_df = _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
@@ -189,7 +230,9 @@ def merge_index(
         F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(salt_rows)))
          .cast("int").alias("n_salts"))
     dict_df.write.mode("overwrite").parquet(f"{out_dir}/dict")
-    dict_df = spark.read.parquet(f"{out_dir}/dict")
+    # NOT re-read from disk: assign_dense_ids keeps its input persisted, so
+    # reuse stays deterministic and we skip a read-back job
+    dict_df = dict_df
 
     # The merge-shuffle: postings + term ids, salted, range-partitioned so
     # each (term_id, salt) group is contiguous and sorted by doc_id.
@@ -248,7 +291,7 @@ def merge_index(
     blocks_df = parted.mapInPandas(encode_partition, schema=BLOCK_SCHEMA)
     blocks_df.write.mode("overwrite").parquet(f"{out_dir}/postings")
 
-    n_blocks = spark.read.parquet(f"{out_dir}/postings").count()
+    n_blocks = _parquet_rows(f"{out_dir}/postings")
     _append_ledger(spark, out_dir, (
         -1, "merge", n_docs, n_blocks, _dir_bytes(f"{out_dir}/postings"),
         int((time.time() - t0) * 1000), "[]"))

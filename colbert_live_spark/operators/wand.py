@@ -82,19 +82,102 @@ def _merge_acc(acc_d, acc_s, new_d, new_s):
     return uniq, out
 
 
+def intersect_query_blocks(
+    pdf: pd.DataFrame,
+    avgdl: float,
+    k: int,
+    n_query_terms: int,
+    stats: dict | None = None,
+) -> pd.DataFrame:
+    """Exact conjunctive (posting-list intersection) top-k for one query.
+
+    Classic merge-based intersection with skip pointers: start from the
+    smallest list; every other list decodes only blocks whose
+    [first_doc, last_doc] range intersects the surviving candidate set
+    (the north rule's 'posting-list intersection' with block skipping).
+    If any query term is absent from the index (matched terms <
+    n_query_terms) the intersection is empty.
+    """
+    qid = pdf["query_id"].iloc[0]
+    empty = pd.DataFrame({"query_id": pd.array([], dtype="str"),
+                          "rank": pd.array([], dtype="int32"),
+                          "doc_id": pd.array([], dtype="int64"),
+                          "score": pd.array([], dtype="float64")})
+    if pdf["term_id"].nunique() < n_query_terms:
+        return empty
+    # smallest list first: order terms by total postings
+    sizes = pdf.groupby("term_id", sort=False)["n"].sum().sort_values()
+    term_order = sizes.index.to_numpy()
+    cand_d = None
+    cand_s = None
+    decoded = 0
+    for term_id in term_order:
+        rows = pdf[pdf["term_id"] == term_id]
+        qtf = float(rows["qtf"].iloc[0])
+        idf = float(rows["idf"].iloc[0])
+        if cand_d is not None:
+            if cand_d.size == 0:
+                break
+            lo = np.searchsorted(cand_d, rows["first_doc"].to_numpy())
+            hi = np.searchsorted(cand_d, rows["last_doc"].to_numpy(),
+                                 side="right")
+            rows = rows[hi > lo]
+        decoded += len(rows)
+        d, tf, dl = _decode_many(rows["first_doc"].to_numpy(),
+                                 rows["n"].to_numpy(),
+                                 rows["docs"].to_list(),
+                                 rows["tfs"].to_list(),
+                                 rows["dls"].to_list())
+        if d.size and not np.all(d[:-1] <= d[1:]):
+            order = np.argsort(d, kind="stable")
+            d, tf, dl = d[order], tf[order], dl[order]
+        w = qtf * idf * bm25_weight_np(tf, dl, avgdl) if d.size else d.astype(np.float64)
+        if cand_d is None:
+            cand_d, cand_s = d, w
+        else:
+            pos = np.searchsorted(d, cand_d)
+            pos_c = np.minimum(pos, max(d.size - 1, 0))
+            hit = (d[pos_c] == cand_d) if d.size else np.zeros(cand_d.size, bool)
+            cand_d = cand_d[hit]
+            cand_s = cand_s[hit] + w[pos_c[hit]]
+    if stats is not None:
+        stats["blocks_total"] = stats.get("blocks_total", 0) + len(pdf)
+        stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + decoded
+    if cand_d is None or cand_d.size == 0:
+        return empty
+    kk = min(k, cand_d.size)
+    order = np.lexsort((cand_d, -cand_s))[:kk]
+    return pd.DataFrame({
+        "query_id": qid,
+        "rank": np.arange(1, kk + 1, dtype=np.int32),
+        "doc_id": cand_d[order],
+        "score": cand_s[order],
+    })
+
+
 def score_query_blocks(
     pdf: pd.DataFrame,
     avgdl: float,
     k: int,
     prune: bool = True,
     stats: dict | None = None,
+    filter_ids=None,
 ) -> pd.DataFrame:
     """Exact top-k for one query from its matched compressed blocks.
 
     pdf columns: term_id, salt, block_id, first_doc, last_doc, n, max_weight,
     docs, tfs, dls, qtf, idf, query_id.
+
+    ``filter_ids``: optional sorted int64 array of permitted doc ids — the
+    query-time metadata predicate (reference analog: tag filter inside the
+    ANN scan, `example/cmdline/db.py:82-88`). Corpus statistics stay global,
+    matching the reference's semantics (the model's weights don't change
+    when a filter is applied).
     """
     qid = pdf["query_id"].iloc[0]
+    doc_filter = None
+    if filter_ids is not None:
+        doc_filter = np.asarray(filter_ids, dtype=np.int64)
     # per-term list-level max impact σ_t = qtf·idf·max(block max_weight)
     g = pdf.groupby("term_id", sort=False)
     sigma = (g["max_weight"].max()
@@ -138,6 +221,13 @@ def score_query_blocks(
         if not np.all(d[:-1] <= d[1:]):
             order = np.argsort(d, kind="stable")
             d, tf, dl = d[order], tf[order], dl[order]
+        if doc_filter is not None and d.size:
+            pos = np.searchsorted(doc_filter, d)
+            pos_c = np.minimum(pos, doc_filter.size - 1)
+            ok = doc_filter[pos_c] == d
+            d, tf, dl = d[ok], tf[ok], dl[ok]
+            if d.size == 0:
+                continue
         w = qtf * idf * bm25_weight_np(tf, dl, avgdl)
         if prune and not admission:
             pos = np.searchsorted(acc_d, d)
@@ -206,9 +296,18 @@ def wand_search(
     queries: list[tuple[str, str]],
     k: int = 10,
     prune: bool = True,
+    conjunctive: bool = False,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Batched top-k over a built index. Returns
-    (query_id, rank, doc_id, score)."""
+    (query_id, rank, doc_id, score). ``conjunctive=True`` switches to
+    posting-list-intersection semantics (AND across query terms).
+
+    ``doc_filter``: optional single-column (doc_id) DataFrame of permitted
+    docs — the composable metadata predicate. Collected and broadcast when
+    small (the common case: predicates select by partition-pruned columns);
+    at true scale this becomes a pre-join against a filter bitmap table,
+    same semantics."""
     with open(f"{index_dir}/_INDEX_META.json") as f:
         meta = json.load(f)
     avgdl = float(meta["avgdl"])
@@ -223,7 +322,26 @@ def wand_search(
                 .filter(F.col("term_id").isin(term_ids)))
     blocks = postings.join(F.broadcast(qterms), "term_id")
 
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        return score_query_blocks(pdf, avgdl=avgdl, k=k, prune=prune)
+    n_qterms = {qid: len({t for t in py_tokenize(qtext)})
+                for qid, qtext in queries}
+    filter_ids = None
+    if doc_filter is not None:
+        import numpy as np
+        filter_ids = np.sort(np.array(
+            [r[0] for r in doc_filter.collect()], dtype=np.int64))
+        bc = spark.sparkContext.broadcast(filter_ids)
+        filter_ids = None  # closure uses bc.value
+
+        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_query_blocks(pdf, avgdl=avgdl, k=k, prune=prune,
+                                      filter_ids=bc.value)
+    elif conjunctive:
+        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return intersect_query_blocks(
+                pdf, avgdl=avgdl, k=k,
+                n_query_terms=n_qterms[pdf["query_id"].iloc[0]])
+    else:
+        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_query_blocks(pdf, avgdl=avgdl, k=k, prune=prune)
 
     return blocks.groupBy("query_id").applyInPandas(run, schema=OUT_SCHEMA)

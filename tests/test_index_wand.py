@@ -114,3 +114,90 @@ def test_checkpoint_resume_equivalence(spark, documents, tmp_path_factory,
 def test_empty_query_no_rows(spark, index_dir):
     got = wand_search(spark, index_dir, [("qx", "zzzmissing")], k=K)
     assert got.count() == 0
+
+
+def test_conjunctive_wand_matches_oracle(spark, index_dir, oracle_index):
+    got = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=K,
+                               conjunctive=True))
+    for qid, qtext in DOC_QUERIES:
+        expect = oracle_search(oracle_index, qtext, k=K, conjunctive=True)
+        g = got.get(qid, [])
+        assert [d for d, _ in g] == [d for d, _ in expect], (qid, qtext)
+        for (gd, gs), (ed, es) in zip(g, expect):
+            assert math.isclose(gs, es, abs_tol=ATOL), (qid, gd)
+
+
+def test_intersection_skips_blocks():
+    """Intersection must decode only candidate-overlapping blocks of the
+    larger lists (skip-pointer evidence) — pure pandas unit test."""
+    import numpy as np
+    import pandas as pd
+    from colbert_live_spark.index.codec import encode_posting_list
+    from colbert_live_spark.operators.wand import intersect_query_blocks
+
+    rng = np.random.default_rng(11)
+    avgdl = 100.0
+
+    def make(term_id, doc_ids, idf):
+        tfs = rng.integers(1, 4, doc_ids.size).astype(np.int64)
+        dls = rng.integers(50, 200, doc_ids.size).astype(np.int64)
+        out = pd.DataFrame(encode_posting_list(doc_ids, tfs, dls, avgdl,
+                                               block_size=64))
+        out.insert(0, "salt", 0)
+        out.insert(0, "term_id", term_id)
+        out["qtf"], out["idf"], out["query_id"] = 1, idf, "c1"
+        return out, dict(zip(doc_ids.tolist(), tfs.tolist())), dict(
+            zip(doc_ids.tolist(), dls.tolist()))
+
+    small = np.sort(rng.choice(50_000, 30, replace=False)).astype(np.int64)
+    big = np.sort(rng.choice(50_000, 20_000, replace=False)).astype(np.int64)
+    b1, tf1, dl1 = make(1, small, idf=5.0)
+    b2, tf2, dl2 = make(2, big, idf=0.5)
+    stats: dict = {}
+    res = intersect_query_blocks(pd.concat([b1, b2], ignore_index=True),
+                                 avgdl=avgdl, k=10, n_query_terms=2,
+                                 stats=stats)
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+    # brute-force expected intersection
+    from colbert_live_spark.oracle import bm25_term_weight
+    inter = sorted(set(small) & set(big))
+    scores = {d: 5.0 * bm25_term_weight(tf1[d], dl1[d], avgdl)
+              + 0.5 * bm25_term_weight(tf2[d], dl2[d], avgdl) for d in inter}
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(res["doc_id"]) == [d for d, _ in expect]
+    for got_s, (_, exp_s) in zip(res["score"], expect):
+        assert math.isclose(got_s, exp_s, abs_tol=1e-9)
+
+
+def test_query_time_doc_filter_matches_oracle(spark, index_dir, documents,
+                                              oracle_index):
+    """Composable metadata predicate at query time — global stats preserved
+    (F1 analog, `example/cmdline/db.py:82-88`)."""
+    from pyspark.sql import functions as F
+    en = documents.filter(F.col("lang") == "en").select("doc_id")
+    en_ids = {r.doc_id for r in en.collect()}
+    got = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=K,
+                               doc_filter=en))
+    for qid, qtext in DOC_QUERIES:
+        expect = oracle_search(oracle_index, qtext, k=K, doc_filter=en_ids)
+        g = got.get(qid, [])
+        assert [d for d, _ in g] == [d for d, _ in expect], (qid, qtext)
+        for (gd, gs), (ed, es) in zip(g, expect):
+            assert math.isclose(gs, es, abs_tol=ATOL)
+        assert all(d in en_ids for d, _ in g)
+
+
+def test_intersection_missing_term_empty():
+    import pandas as pd
+    import numpy as np
+    from colbert_live_spark.index.codec import encode_posting_list
+    from colbert_live_spark.operators.wand import intersect_query_blocks
+    d = np.arange(10, dtype=np.int64)
+    blocks = pd.DataFrame(encode_posting_list(
+        d, np.ones(10, np.int64), np.full(10, 100, np.int64), 100.0))
+    blocks.insert(0, "salt", 0)
+    blocks.insert(0, "term_id", 1)
+    blocks["qtf"], blocks["idf"], blocks["query_id"] = 1, 1.0, "q"
+    # query had 2 distinct terms but only 1 matched the dictionary
+    res = intersect_query_blocks(blocks, avgdl=100.0, k=5, n_query_terms=2)
+    assert len(res) == 0

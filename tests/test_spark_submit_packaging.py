@@ -1,0 +1,61 @@
+"""Packaging gate (north rule): the pipeline must run via
+``spark-submit --py-files`` — zip the package, submit generate → build →
+query as separate cluster-style jobs, check their JSON output."""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _zip_package(tmp: str) -> str:
+    zpath = os.path.join(tmp, "colbert_live_spark.zip")
+    pkg = os.path.join(REPO, "colbert_live_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def _submit(zpath: str, *args: str) -> str:
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.shuffle.partitions=8",
+           "--py-files", zpath, os.path.join(REPO, "jobs.py"), *args]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                         cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    return out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_end_to_end(tmp_path):
+    tmp = str(tmp_path)
+    zpath = _zip_package(tmp)
+    corpus, idx = f"{tmp}/corpus", f"{tmp}/index"
+
+    gen = json.loads(_submit(zpath, "generate", "--rows", "500",
+                             "--partitions", "4", "--output", corpus)
+                     .strip().splitlines()[-1])
+    assert gen["rows"] == 500
+
+    built = json.loads(_submit(zpath, "build", "--input", corpus,
+                               "--output", idx, "--n-groups", "2",
+                               "--n-shards", "4")
+                       .strip().splitlines()[-1])
+    assert built["n_docs"] == 500 and built["docs_per_sec"] > 0
+
+    q = json.loads(_submit(zpath, "query", "--index", idx,
+                           "--query", "word000 word001", "--k", "5")
+                   .strip().splitlines()[-1])
+    assert q["rows"] > 0 and q["n_queries"] == 1
