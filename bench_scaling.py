@@ -23,9 +23,9 @@ import sys
 import time
 
 CORPUS_PARTS = 128
-N_GROUPS = 4
+N_GROUPS = 2
 N_SHARDS = 32
-BATCH_QUERIES = 1024
+BATCH_QUERIES = 4096
 LATENCY_QUERIES = 12
 K = 10
 

@@ -103,6 +103,59 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _html_roundtrip_sql() -> str:
+    from colbert_live_spark.sources.webpages import HTML_PREFIX, HTML_SUFFIX
+    return f"""
+WITH h AS (
+  SELECT doc_id, '{HTML_PREFIX}' || text || '{HTML_SUFFIX}' AS html, text
+  FROM documents
+)
+SELECT doc_id, octet_length(encode(html))::INT AS n_bytes,
+       (regexp_replace(regexp_replace(html, '^{HTML_PREFIX}', ''),
+                       '{HTML_SUFFIX}$', '') = text)::INT AS extract_ok
+FROM h
+"""
+
+
+def _success_at_k_sql() -> str:
+    singles = [(q, t) for q, t in DOC_QUERIES if " " not in t.strip()]
+    return f"""
+{_BM25_CTES},
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(qt.qtf * tstats.idf * post.tf * (1.2 + 1.0)
+             / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / cstats.avgdl))
+         ) AS score
+  FROM post
+  JOIN {_queries_values_sql(singles)} ON qt.term = post.term
+  JOIN tstats ON tstats.term = post.term
+  JOIN doclen ON doclen.doc_id = post.doc_id
+  CROSS JOIN cstats
+  GROUP BY qt.query_id, post.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+qrels AS (
+  SELECT DISTINCT qt.query_id, post.doc_id
+  FROM post JOIN {_queries_values_sql(singles)} ON qt.term = post.term
+  WHERE post.tf >= 3
+),
+hits AS (
+  SELECT DISTINCT r.query_id FROM ranked r
+  JOIN qrels q ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+  WHERE r.rank <= 5
+)
+SELECT t.query_id,
+       CASE WHEN h.query_id IS NULL THEN 0 ELSE 1 END AS success
+FROM (SELECT DISTINCT query_id FROM ranked WHERE rank <= 10) t
+LEFT JOIN hits h ON h.query_id = t.query_id
+"""
+
+
 def _round_score(df: DataFrame) -> DataFrame:
     return df.withColumn("score", F.round("score", ROUND))
 
@@ -229,6 +282,37 @@ def q_rrf_fusion(spark, sf_dir):
     return _round_score(bm25.topk(fused, k=10))
 
 
+def q_html_roundtrip(spark, sf_dir):
+    """Input-hint invariant through the driver gate: wrap text into the html
+    binary shape, extract it back, assert byte-identity per row (S6 analog —
+    the deterministic stand-in for PDF→image ingest,
+    `example/cmdline/main.py:16-29`)."""
+    from colbert_live_spark.sources.webpages import (
+        HTML_PREFIX, HTML_SUFFIX, extract_text)
+    docs = _docs(spark, sf_dir)
+    html = F.encode(
+        F.concat(F.lit(HTML_PREFIX), F.col("text"), F.lit(HTML_SUFFIX)),
+        "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(html).alias("n_bytes"),
+        (extract_text(html) == F.col("text")).cast("int").alias("extract_ok"))
+
+
+def q_success_at_k(spark, sf_dir):
+    """A6 eval: Success@5 against derived qrels (relevant = docs with
+    tf(term) ≥ 3 for the single-term queries)."""
+    from colbert_live_spark.sources.sinks import success_at_k
+    docs = _docs(spark, sf_dir)
+    single = [(q, t) for q, t in DOC_QUERIES if " " not in t.strip()]
+    top = bm25.search(spark, docs, single, k=10)
+    post = bm25.postings(docs)
+    qterms = bm25.query_terms_df(spark, single)
+    qrels = (post.join(F.broadcast(qterms.select("query_id", "term")), "term")
+             .filter(F.col("tf") >= 3).select("query_id", "doc_id"))
+    return success_at_k(top, qrels, k=5)
+
+
 def q_rankings_sink(spark, sf_dir):
     """S9/O4 rankings sink shape: qid, doc_id, rank, score (TSV-writable,
     `example/bench/lotte.py:111-116`)."""
@@ -337,6 +421,8 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM 
             "FROM documents", "FROM (SELECT * FROM documents WHERE lang = 'en')"),
         "topk_payload": payload_sql,
         "rrf_fusion": rrf_sql,
+        "html_roundtrip": _html_roundtrip_sql(),
+        "success_at_k": _success_at_k_sql(),
         "rankings_sink": f"""
 {_BM25_CTES},
 scored AS (
@@ -384,4 +470,6 @@ def _core_query_map():
         "topk_payload": q_topk_payload,
         "rrf_fusion": q_rrf_fusion,
         "rankings_sink": q_rankings_sink,
+        "html_roundtrip": q_html_roundtrip,
+        "success_at_k": q_success_at_k,
     }

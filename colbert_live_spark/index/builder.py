@@ -229,7 +229,12 @@ def merge_index(
               / (F.col("df") + 0.5)).alias("idf"),
         F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(salt_rows)))
          .cast("int").alias("n_salts"))
-    dict_df.write.mode("overwrite").parquet(f"{out_dir}/dict")
+    # few files (query-time dictionary point-lookups pay per-file overhead).
+    # MUST be repartition, not coalesce: coalesce fuses into the id-assign
+    # mapInPandas stage and changes TaskContext.partitionId() under it,
+    # corrupting the dense-id offsets; repartition is a shuffle barrier.
+    dict_df.repartition(max(2, n_shards // 8)).write.mode(
+        "overwrite").parquet(f"{out_dir}/dict")
     # NOT re-read from disk: assign_dense_ids keeps its input persisted, so
     # reuse stays deterministic and we skip a read-back job
     dict_df = dict_df
@@ -258,7 +263,7 @@ def merge_index(
             if cur_key is None or not buf:
                 return None
             g = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            blocks = codec.encode_posting_list(
+            blocks = codec.encode_posting_list_columns(
                 g["doc_id"].to_numpy(np.int64), g["tf"].to_numpy(np.int64),
                 g["dl"].to_numpy(np.int64), avgdl, block_size)
             out = pd.DataFrame(blocks)

@@ -81,6 +81,84 @@ def bm25_weight_np(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
 
 
+def _varint_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode the whole array once; return (bytes, end-offset per value).
+    LEB128 concatenation is self-delimiting, so any value-aligned byte
+    slice is itself a valid encoding — blocks slice this stream."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    lengths = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESH:
+        lengths += (v >= t)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for i in range(int(lengths.max())):
+        mask = lengths > i
+        byte = ((v[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
+        byte |= (lengths[mask] - 1 > i).astype(np.uint8) << 7
+        out[starts[mask] + i] = byte
+    return out.tobytes(), ends
+
+
+def encode_posting_list_columns(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Vectorized block encoding of one sorted posting (sub-)list.
+
+    Returns columnar output (lists/arrays, one element per block) matching
+    the postings-table schema minus term_id/salt. All numeric work happens
+    in whole-list numpy passes; the only per-block operations are byte
+    slices of the pre-encoded streams.
+    """
+    n = doc_ids.size
+    if n > 1:
+        assert bool(np.all(doc_ids[:-1] < doc_ids[1:])), \
+            "posting list must be sorted unique by doc_id"
+    n_blocks = (n + block_size - 1) // block_size
+    starts = np.arange(n_blocks) * block_size
+    ends = np.minimum(starts + block_size, n)
+
+    deltas = np.diff(doc_ids.astype(np.uint64))
+    # exclude deltas that cross block starts (block-first docs are absolute)
+    keep = np.ones(deltas.size, dtype=bool)
+    keep[starts[1:] - 1] = False
+    d_bytes, d_ends = _varint_offsets(deltas[keep])
+    t_bytes, t_ends = _varint_offsets(tfs.astype(np.uint64))
+    l_bytes, l_ends = _varint_offsets(dls.astype(np.uint64))
+
+    weights = bm25_weight_np(tfs, dls, avgdl)
+    max_w = np.maximum.reduceat(weights, starts)
+
+    # byte offsets per block: deltas stream has (block_len - 1) values per
+    # block; tf/dl streams have block_len values per block
+    kept_per_block = ends - starts - 1
+    d_val_ends = np.cumsum(kept_per_block)          # value-index end per block
+    d_byte_ends = np.where(d_val_ends > 0, d_ends[d_val_ends - 1], 0) \
+        if d_ends.size else np.zeros(n_blocks, dtype=np.int64)
+    d_byte_starts = np.concatenate([[0], d_byte_ends[:-1]])
+    t_byte_ends = t_ends[ends - 1]
+    t_byte_starts = np.concatenate([[0], t_byte_ends[:-1]])
+    l_byte_ends = l_ends[ends - 1]
+    l_byte_starts = np.concatenate([[0], l_byte_ends[:-1]])
+
+    return {
+        "block_id": np.arange(n_blocks, dtype=np.int32),
+        "first_doc": doc_ids[starts].astype(np.int64),
+        "last_doc": doc_ids[ends - 1].astype(np.int64),
+        "n": (ends - starts).astype(np.int32),
+        "max_weight": max_w.astype(np.float64),
+        "docs": [d_bytes[a:b] for a, b in zip(d_byte_starts, d_byte_ends)],
+        "tfs": [t_bytes[a:b] for a, b in zip(t_byte_starts, t_byte_ends)],
+        "dls": [l_bytes[a:b] for a, b in zip(l_byte_starts, l_byte_ends)],
+    }
+
+
 def encode_posting_list(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -88,33 +166,50 @@ def encode_posting_list(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> list[dict]:
-    """Split one sorted posting (sub-)list into encoded blocks.
+    """Row-oriented view of :func:`encode_posting_list_columns` (tests and
+    small callers)."""
+    cols = encode_posting_list_columns(doc_ids, tfs, dls, avgdl, block_size)
+    keys = list(cols)
+    n_blocks = len(cols["block_id"])
+    out = []
+    for i in range(n_blocks):
+        out.append({k: (cols[k][i] if not isinstance(cols[k], np.ndarray)
+                        else cols[k][i].item()) for k in keys})
+    return out
 
-    ``doc_ids`` must be sorted ascending and unique; tf/dl aligned.
-    Returns a list of block dicts matching the postings-table schema
-    (minus term_id/salt which the caller owns).
+
+def decode_blocks(first_docs, ns, docs_blobs, tfs_blobs, dls_blobs
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks in one pass (the query-path hot loop).
+
+    LEB128 streams are self-delimiting, so the per-block blobs concatenate
+    into one decodable stream; absolute doc ids come back via a segmented
+    prefix sum (no per-block Python). Output order = input block order.
     """
-    order_ok = doc_ids[:-1] < doc_ids[1:] if doc_ids.size > 1 else np.array([True])
-    assert bool(np.all(order_ok)), "posting list must be sorted unique by doc_id"
-    blocks = []
-    for b0 in range(0, doc_ids.size, block_size):
-        d = doc_ids[b0:b0 + block_size]
-        t = tfs[b0:b0 + block_size]
-        l = dls[b0:b0 + block_size]
-        deltas = np.empty(d.size - 1, dtype=np.uint64) if d.size > 1 else np.zeros(0, np.uint64)
-        if d.size > 1:
-            deltas[:] = np.diff(d.astype(np.uint64))
-        blocks.append({
-            "block_id": b0 // block_size,
-            "first_doc": int(d[0]),
-            "last_doc": int(d[-1]),
-            "n": int(d.size),
-            "max_weight": float(bm25_weight_np(t, l, avgdl).max()),
-            "docs": varint_encode(deltas),
-            "tfs": varint_encode(t.astype(np.uint64)),
-            "dls": varint_encode(l.astype(np.uint64)),
-        })
-    return blocks
+    ns = np.asarray(ns, dtype=np.int64)
+    first_docs = np.asarray(first_docs, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    tf = varint_decode(b"".join(tfs_blobs), total).astype(np.int64)
+    dl = varint_decode(b"".join(dls_blobs), total).astype(np.int64)
+    n_deltas = int((ns - 1).sum())
+    deltas = varint_decode(b"".join(docs_blobs), n_deltas).astype(np.int64)
+
+    starts = np.concatenate([[0], np.cumsum(ns)[:-1]])       # doc-space
+    vstarts = np.concatenate([[0], np.cumsum(ns - 1)[:-1]])  # delta-space
+    cs = np.cumsum(deltas)
+    prev_cs = np.where(vstarts > 0, cs[np.maximum(vstarts - 1, 0)], 0) \
+        if cs.size else np.zeros(len(ns), dtype=np.int64)
+    d = np.empty(total, dtype=np.int64)
+    d[starts] = first_docs
+    mask = np.ones(total, dtype=bool)
+    mask[starts] = False
+    if n_deltas:
+        base = np.repeat(first_docs - prev_cs, ns)
+        d[mask] = base[mask] + cs
+    return d, tf, dl
 
 
 def decode_block(first_doc: int, n: int, docs: bytes, tfs: bytes,

@@ -23,6 +23,11 @@ def assign_dense_ids(df: DataFrame, key_col: str, id_name: str = "doc_id",
 
     The input is persisted for the two passes (range boundaries are
     sample-based and must match between the count and assign passes).
+
+    WARNING: do not apply ``coalesce`` directly to the returned DataFrame —
+    coalesce fuses into the assignment stage and changes the partition ids
+    the offsets were computed for, corrupting ids. Use ``repartition`` (a
+    shuffle barrier) if you need fewer output files.
     """
     spark = df.sparkSession
     if n_parts is None:

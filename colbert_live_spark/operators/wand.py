@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from colbert_live_spark.functions.tokenize import py_tokenize
-from colbert_live_spark.index.codec import bm25_weight_np, varint_decode
+from colbert_live_spark.index.codec import bm25_weight_np
 
 OUT_SCHEMA = "query_id string, rank int, doc_id long, score double"
 
@@ -54,32 +54,38 @@ def expand_budget(k: int, a: float = 94.9, b: float = 11.0,
 
 
 def _decode_many(first_docs, ns, docs_blobs, tfs_blobs, dls_blobs):
-    """Decode a set of blocks into flat (doc_ids, tfs, dls) arrays."""
-    d_parts, t_parts, l_parts = [], [], []
-    for fd, n, db, tb, lb in zip(first_docs, ns, docs_blobs, tfs_blobs, dls_blobs):
-        deltas = varint_decode(db, n - 1)
-        d = np.empty(n, dtype=np.int64)
-        d[0] = fd
-        if n > 1:
-            d[1:] = fd + np.cumsum(deltas.astype(np.int64))
-        d_parts.append(d)
-        t_parts.append(varint_decode(tb, n).astype(np.int64))
-        l_parts.append(varint_decode(lb, n).astype(np.int64))
-    if not d_parts:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z.copy(), z.copy()
-    return (np.concatenate(d_parts), np.concatenate(t_parts),
-            np.concatenate(l_parts))
+    """Decode a set of blocks into flat (doc_ids, tfs, dls) arrays —
+    single-pass vectorized (see codec.decode_blocks)."""
+    from colbert_live_spark.index.codec import decode_blocks
+    return decode_blocks(first_docs, ns, list(docs_blobs), list(tfs_blobs),
+                         list(dls_blobs))
 
 
 def _merge_acc(acc_d, acc_s, new_d, new_s):
-    """Merge sorted accumulator with new (doc, score) contributions."""
-    d = np.concatenate([acc_d, new_d])
-    s = np.concatenate([acc_s, new_s])
-    uniq, inv = np.unique(d, return_inverse=True)
-    out = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(out, inv, s)
-    return uniq, out
+    """Merge sorted accumulator with new sorted, doc-unique (doc, score)
+    contributions — vectorized two-way sorted merge, no re-sort (the
+    accumulator path is the batched-serving hot loop)."""
+    if acc_d.size == 0:
+        return new_d.copy(), new_s.astype(np.float64, copy=True)
+    pos = np.searchsorted(acc_d, new_d)
+    pos_c = np.minimum(pos, acc_d.size - 1)
+    hit = acc_d[pos_c] == new_d
+    # existing docs: add in place (term order preserved → deterministic)
+    acc_s = acc_s.copy()
+    acc_s[pos_c[hit]] += new_s[hit]
+    miss_d, miss_s = new_d[~hit], new_s[~hit]
+    if miss_d.size == 0:
+        return acc_d, acc_s
+    # classic vectorized merge placement of the misses
+    ins = np.searchsorted(acc_d, miss_d)
+    total = acc_d.size + miss_d.size
+    take = np.zeros(total, dtype=bool)
+    take[ins + np.arange(miss_d.size)] = True
+    out_d = np.empty(total, dtype=np.int64)
+    out_s = np.empty(total, dtype=np.float64)
+    out_d[take], out_d[~take] = miss_d, acc_d
+    out_s[take], out_s[~take] = miss_s, acc_s
+    return out_d, out_s
 
 
 def intersect_query_blocks(
@@ -105,9 +111,11 @@ def intersect_query_blocks(
                           "score": pd.array([], dtype="float64")})
     if pdf["term_id"].nunique() < n_query_terms:
         return empty
-    # smallest list first: order terms by total postings
-    sizes = pdf.groupby("term_id", sort=False)["n"].sum().sort_values()
-    term_order = sizes.index.to_numpy()
+    # smallest list first: order terms by total postings (ties on term_id
+    # for shuffle-order-independent float summation)
+    sizes = pdf.groupby("term_id", sort=False)["n"].sum()
+    term_order = sizes.index.to_numpy()[np.lexsort(
+        (sizes.index.to_numpy(), sizes.to_numpy()))]
     cand_d = None
     cand_s = None
     decoded = 0
@@ -178,10 +186,13 @@ def score_query_blocks(
     doc_filter = None
     if filter_ids is not None:
         doc_filter = np.asarray(filter_ids, dtype=np.int64)
-    # per-term list-level max impact σ_t = qtf·idf·max(block max_weight)
+    # per-term list-level max impact σ_t = qtf·idf·max(block max_weight);
+    # σ-ties break on term_id so the float summation order (and hence the
+    # bit-exact scores) is independent of shuffle row order
     g = pdf.groupby("term_id", sort=False)
-    sigma = (g["max_weight"].max()
-             * g["qtf"].first() * g["idf"].first()).sort_values(ascending=False)
+    sigma = (g["max_weight"].max() * g["qtf"].first() * g["idf"].first())
+    sigma = sigma.iloc[np.lexsort((sigma.index.to_numpy(),
+                                   -sigma.to_numpy()))]
     term_order = sigma.index.to_numpy()
     sigma_v = sigma.to_numpy()
     suffix = np.concatenate([np.cumsum(sigma_v[::-1])[::-1], [0.0]])
@@ -249,7 +260,10 @@ def score_query_blocks(
         stats["blocks_total"] = stats.get("blocks_total", 0) + total_blocks
         stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + decoded_blocks
     if acc_d.size == 0:
-        return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+        return pd.DataFrame({"query_id": pd.array([], dtype="str"),
+                             "rank": pd.array([], dtype="int32"),
+                             "doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
     kk = min(k, acc_d.size)
     # top-k with deterministic (score DESC, doc_id ASC) order
     order = np.lexsort((acc_d, -acc_s))[:kk]

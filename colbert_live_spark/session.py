@@ -43,7 +43,10 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing OFF: it mis-sizes the Arrow-blob scoring shuffle (size
+        # estimator vs binary columns) and halves effective parallelism;
+        # this engine sizes its stages explicitly via shuffle_partitions
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -51,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
     )
+    # local-mode shuffle goes through spark.local.dir; on this sandbox the
+    # default /tmp is a virtual disk while /dev/shm is a 126G tmpfs — keep
+    # shuffle in RAM (a real cluster overrides via spark-submit conf)
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

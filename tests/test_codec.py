@@ -51,6 +51,45 @@ def test_posting_roundtrip(doc_set, tf_max):
     assert np.array_equal(np.concatenate(got_l), dls)
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**10), min_size=1,
+               max_size=800),
+       st.integers(min_value=2, max_value=64))
+def test_decode_blocks_vectorized_roundtrip(doc_set, block_size):
+    from colbert_live_spark.index.codec import decode_blocks
+    rng = np.random.default_rng(9)
+    doc_ids = np.array(sorted(doc_set), dtype=np.int64)
+    tfs = rng.integers(1, 30, doc_ids.size).astype(np.int64)
+    dls = rng.integers(1, 900, doc_ids.size).astype(np.int64)
+    blocks = encode_posting_list(doc_ids, tfs, dls, 100.0, block_size)
+    d, t, l = decode_blocks([b["first_doc"] for b in blocks],
+                            [b["n"] for b in blocks],
+                            [b["docs"] for b in blocks],
+                            [b["tfs"] for b in blocks],
+                            [b["dls"] for b in blocks])
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(l, dls)
+
+
+def test_decode_blocks_multi_list_order():
+    """Blocks from different sub-lists decode in given order (interleaved
+    salted lists)."""
+    from colbert_live_spark.index.codec import decode_blocks
+    a = np.array([5, 100, 2000], dtype=np.int64)
+    b = np.array([1, 50], dtype=np.int64)
+    ones = np.ones(3, np.int64)
+    ba = encode_posting_list(a, ones, ones * 10, 10.0, block_size=2)
+    bb = encode_posting_list(b, ones[:2], ones[:2] * 10, 10.0, block_size=2)
+    blocks = ba + bb
+    d, t, l = decode_blocks([x["first_doc"] for x in blocks],
+                            [x["n"] for x in blocks],
+                            [x["docs"] for x in blocks],
+                            [x["tfs"] for x in blocks],
+                            [x["dls"] for x in blocks])
+    assert list(d) == [5, 100, 2000, 1, 50]
+
+
 def test_block_max_weight_is_max():
     from colbert_live_spark.index.codec import bm25_weight_np
     doc_ids = np.arange(300, dtype=np.int64)

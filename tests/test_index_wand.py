@@ -187,6 +187,17 @@ def test_query_time_doc_filter_matches_oracle(spark, index_dir, documents,
         assert all(d in en_ids for d, _ in g)
 
 
+def test_dictionary_ids_unique(spark, index_dir):
+    """Regression: dense term ids must be globally unique (a coalesce fused
+    under the id-assignment stage once silently duplicated ids)."""
+    d = spark.read.parquet(f"{index_dir}/dict")
+    n = d.count()
+    assert d.select("term_id").distinct().count() == n
+    assert d.select("term").distinct().count() == n
+    ids = sorted(r.term_id for r in d.select("term_id").collect())
+    assert ids == list(range(n))  # dense 0..V-1
+
+
 def test_intersection_missing_term_empty():
     import pandas as pd
     import numpy as np

@@ -1,0 +1,63 @@
+"""Physical-plan quality gates: pushdown, broadcast, no row-Python — the
+'explain and iterate' discipline the scale story depends on."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from colbert_live_spark.plans.explain import (
+    assert_broadcast_join, assert_no_python_row_udf, assert_pushed_filters,
+    physical_plan,
+)
+
+
+def test_lang_filter_pushdown(spark, sf_dir):
+    """F1: the metadata predicate must reach the parquet scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    assert_pushed_filters(q, "lang")
+    plan = physical_plan(q)
+    assert "ReadSchema" in plan
+    # column pruning: untouched columns must not be read
+    assert "n_chars" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_term_id_isin_pushdown(spark, documents, tmp_path_factory):
+    """The query path's term_id filter must push into the postings scan
+    (row-group pruning is what makes dictionary-directed reads cheap)."""
+    from colbert_live_spark.entry_queries import built_index
+    idx = built_index(spark, "/root/testdata/sf0.001")
+    post = (spark.read.parquet(f"{idx}/postings")
+            .filter(F.col("term_id").isin([1, 2, 3])))
+    assert_pushed_filters(post, "term_id")
+
+
+def test_query_join_is_broadcast(spark, documents):
+    """J3: query terms must broadcast — the postings side never moves."""
+    from colbert_live_spark.operators import bm25
+    from colbert_live_spark.queryset import DOC_QUERIES
+    post = bm25.postings(documents)
+    qterms = bm25.query_terms_df(spark, DOC_QUERIES)
+    joined = post.join(F.broadcast(qterms), "term")
+    assert_broadcast_join(joined)
+
+
+def test_no_row_python_in_all_entry_queries(spark):
+    """North-rule guard across the whole driver surface: no BatchEvalPython
+    node in ANY queries() plan (Arrow-vectorized nodes are fine)."""
+    import __spark_entry__ as m
+    for name, fn in sorted(m.queries().items()):
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert_no_python_row_udf(df)
+
+
+def test_wand_search_plan(spark):
+    """Serving plan shape: broadcast join + single FlatMapGroupsInPandas."""
+    from colbert_live_spark.entry_queries import built_index
+    from colbert_live_spark.operators.wand import wand_search
+    from colbert_live_spark.queryset import DOC_QUERIES
+    idx = built_index(spark, "/root/testdata/sf0.001")
+    df = wand_search(spark, idx, DOC_QUERIES, k=10)
+    plan = physical_plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
