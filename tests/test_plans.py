@@ -11,9 +11,11 @@ from colbert_live_spark.plans.explain import (
 )
 
 
-def test_lang_filter_pushdown(spark, sf_dir):
-    """F1: the metadata predicate must reach the parquet scan."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def test_lang_filter_pushdown(spark):
+    """F1: the metadata predicate must reach the parquet scan. (Reads sf0.01
+    — the sf0.001 table is session-cached by conftest and Spark substitutes
+    InMemoryRelation for cached plans, hiding PushedFilters.)"""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     q = docs.filter(F.col("lang") == "en").select("doc_id", "text")
     assert_pushed_filters(q, "lang")
     plan = physical_plan(q)
