@@ -68,6 +68,21 @@ def q_embedding_neardup(spark, sf_dir):
             .withColumn("cos", F.round("cos", ROUND)))
 
 
+def q_dedup_keep(spark, sf_dir):
+    """Composed dedup pipeline output: the surviving document set after
+    removing exact duplicates and near-duplicates (n-gram Jaccard ≥ 0.5,
+    higher doc_id of each pair dropped) — what a training-data pipeline
+    actually ships downstream."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.exact_dup_pairs(docs).select(
+        F.col("dup_doc_id").alias("doc_id"))
+    near = (dedup.ngram_jaccard_pairs(docs, n=NGRAM, threshold=JACCARD_T)
+            .select(F.col("doc_b").alias("doc_id")))
+    drops = exact.union(near).distinct()
+    return (docs.join(drops, "doc_id", "left_anti")
+            .select("doc_id", "lang", "n_chars"))
+
+
 # ------------------------------------------------------------- similarity
 
 def q_knn_bruteforce(spark, sf_dir):
@@ -230,6 +245,33 @@ g AS (SELECT h, min(doc_id) AS keep_doc_id FROM h
 SELECT g.keep_doc_id, h.doc_id AS dup_doc_id
 FROM h JOIN g USING (h) WHERE h.doc_id != g.keep_doc_id
 """,
+        "dedup_keep": f"""
+WITH {_SHINGLES},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+near_drop AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE c.common / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE)
+        >= {JACCARD_T}
+),
+hh AS (SELECT doc_id, md5(text) AS h FROM documents),
+g AS (SELECT h, min(doc_id) AS keep_doc_id FROM hh
+      GROUP BY h HAVING count(*) > 1),
+exact_drop AS (
+  SELECT hh.doc_id FROM hh JOIN g USING (h)
+  WHERE hh.doc_id != g.keep_doc_id
+),
+drops AS (SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near_drop)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+""",
         "ngram_jaccard": f"""
 WITH {_SHINGLES},
 common AS (
@@ -313,6 +355,7 @@ SELECT doc_id, {ts.sql_fingerprint('text')} AS fp FROM documents
 def query_map():
     return {
         "dedup_exact": q_dedup_exact,
+        "dedup_keep": q_dedup_keep,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_signatures": q_simhash,
