@@ -68,12 +68,18 @@ tstats AS (
 
 
 def _bm25_topk_sql(k: int = 10, conjunctive: bool = False,
-                   lang: str | None = None) -> str:
+                   lang: str | None = None,
+                   doc_pred: str | None = None) -> str:
+    """``lang``/``doc_pred``: QUERY-TIME doc predicates (corpus statistics
+    stay global — the reference's filter semantics); ``doc_pred`` is an
+    arbitrary SQL condition over the documents alias ``d``."""
+    if lang is not None:
+        doc_pred = f"d.lang = '{lang}'"
     lang_join = ""
     lang_where = ""
-    if lang is not None:
+    if doc_pred is not None:
         lang_join = "JOIN documents d ON d.doc_id = post.doc_id"
-        lang_where = f"AND d.lang = '{lang}'"
+        lang_where = f"AND ({doc_pred})"
     having = "HAVING count(*) = first(qt.n_terms)" if conjunctive else ""
     return f"""
 {_BM25_CTES},
@@ -160,6 +166,54 @@ def _round_score(df: DataFrame) -> DataFrame:
     return df.withColumn("score", F.round("score", ROUND))
 
 
+def _ndcg_sql(k: int = 10) -> str:
+    singles = [(q, t) for q, t in DOC_QUERIES if " " not in t.strip()]
+    return f"""
+{_BM25_CTES},
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(qt.qtf * tstats.idf * post.tf * (1.2 + 1.0)
+             / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / cstats.avgdl))
+         ) AS score
+  FROM post
+  JOIN {_queries_values_sql(singles)} ON qt.term = post.term
+  JOIN tstats ON tstats.term = post.term
+  JOIN doclen ON doclen.doc_id = post.doc_id
+  CROSS JOIN cstats
+  GROUP BY qt.query_id, post.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+rel AS (
+  SELECT qt.query_id, post.doc_id, least(post.tf, 3)::DOUBLE AS rel
+  FROM post JOIN {_queries_values_sql(singles)} ON qt.term = post.term
+),
+dcg AS (
+  SELECT r.query_id,
+         sum(coalesce(rel.rel, 0.0) * ln(2.0) / ln(r.rank + 1.0)) AS dcg
+  FROM ranked r
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE r.rank <= {k} GROUP BY r.query_id
+),
+irank AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id ASC) AS r
+  FROM rel
+),
+idcg AS (
+  SELECT query_id, sum(rel * ln(2.0) / ln(r + 1.0)) AS idcg
+  FROM irank WHERE r <= {k} GROUP BY query_id
+)
+SELECT d.query_id, round(d.dcg / i.idcg, {ROUND}) AS ndcg
+FROM dcg d JOIN idcg i USING (query_id)
+"""
+
+
 # ------------------------------------------------------------------ queries
 
 def q_postings(spark, sf_dir):
@@ -228,7 +282,9 @@ def built_index(spark, sf_dir: str) -> str:
         import hashlib
         import os
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        out = f"/tmp/cls_index_{tag}"
+        # v2: doc-sharded layout (salt = global doc shard) — the version tag
+        # keeps stale round-1 layouts from being reused across processes
+        out = f"/tmp/cls_index_v2_{tag}"
         if not os.path.exists(f"{out}/_INDEX_META.json"):
             from colbert_live_spark.index.builder import build_index
             docs = _docs(spark, sf_dir)
@@ -255,6 +311,94 @@ def q_bm25_conjunctive_wand(spark, sf_dir):
     idx = built_index(spark, sf_dir)
     return _round_score(wand_search(spark, idx, DOC_QUERIES, k=10,
                                     conjunctive=True))
+
+
+def q_bm25_filtered_wand(spark, sf_dir):
+    """F1 at scale: the metadata predicate composed with the COMPRESSED
+    index path — the filter-id set shuffles by doc shard and cogroups with
+    the matched blocks (never collected to the driver; see wand_search).
+    Corpus statistics stay global (reference semantics: the tag filter of
+    `example/cmdline/db.py:82-88` narrows candidates, not the model)."""
+    from colbert_live_spark.operators.wand import wand_search
+    docs = _docs(spark, sf_dir)
+    idx = built_index(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    return _round_score(wand_search(spark, idx, DOC_QUERIES, k=10,
+                                    doc_filter=en))
+
+
+def q_bm25_tag_filtered(spark, sf_dir):
+    """Array-typed tag predicate (the literal `tags set<text> CONTAINS ?`
+    analog, `example/cmdline/db.py:43,82-88`): docs carry an
+    array<string> tags column; the predicate is array_contains, composed
+    with compressed-index retrieval at query time (global stats)."""
+    from colbert_live_spark.operators.wand import wand_search
+    docs = _docs(spark, sf_dir)
+    idx = built_index(spark, sf_dir)
+    tagged = docs.withColumn("tags", F.array(F.col("lang"), F.col("source")))
+    keep = tagged.filter(F.array_contains("tags", "zh")
+                         | F.array_contains("tags", "src3")).select("doc_id")
+    return _round_score(wand_search(spark, idx, DOC_QUERIES, k=10,
+                                    doc_filter=keep))
+
+
+_DELETE_PRED_SQL = "doc_id % 7 = 3"
+
+
+def built_deleted_root(spark, sf_dir: str) -> str:
+    """Segment root over the documents corpus with docs (doc_id % 7 == 3)
+    tombstoned — built once per sf_dir per process under /tmp."""
+    import hashlib
+    import os
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/cls_segdel_v2_{tag}"
+    if not os.path.exists(f"{root}/MANIFEST.json"):
+        from colbert_live_spark.index.segments import add_segment, delete_docs
+        docs = _docs(spark, sf_dir)
+        add_segment(spark, docs, root, n_shards=4, salt_rows=200)
+        delete_docs(spark, root,
+                    docs.filter(F.expr(_DELETE_PRED_SQL)).select("doc_id"))
+    return root
+
+
+def q_bm25_after_delete(spark, sf_dir):
+    """Live deletes ("remove documents", reference README.md:21-23):
+    tombstoned docs vanish from results AND from the statistics — top-k
+    equals the oracle recomputed over the reduced corpus (N, avgdl, df→idf
+    all corrected exactly via delete-time df deltas; index/segments.py)."""
+    from colbert_live_spark.index.segments import segment_search
+    root = built_deleted_root(spark, sf_dir)
+    return _round_score(segment_search(spark, root, DOC_QUERIES, k=10))
+
+
+def q_ndcg_at_k(spark, sf_dir):
+    """A7 eval: NDCG@10 with graded relevance rel = least(tf, 3) derived
+    from the single-term queries (the metric the reference reports for
+    BEIR, `example/bench/beir.py:102-110`)."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    single = [(q, t) for q, t in DOC_QUERIES if " " not in t.strip()]
+    top = bm25.search(spark, docs, single, k=10)
+    post = bm25.postings(docs)
+    qterms = bm25.query_terms_df(spark, single)
+    rel = (post.join(F.broadcast(qterms.select("query_id", "term")), "term")
+           .select("query_id", "doc_id",
+                   F.least(F.col("tf"), F.lit(3)).cast("double").alias("rel")))
+    ln2 = F.log(F.lit(2.0))
+    dcg = (top.join(rel, ["query_id", "doc_id"], "left")
+           .select("query_id",
+                   (F.coalesce(F.col("rel"), F.lit(0.0)) * ln2
+                    / F.log(F.col("rank") + 1.0)).alias("g"))
+           .groupBy("query_id").agg(F.sum("g").alias("dcg")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    idcg = (rel.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 10)
+            .select("query_id",
+                    (F.col("rel") * ln2 / F.log(F.col("r") + 1.0)).alias("g"))
+            .groupBy("query_id").agg(F.sum("g").alias("idcg")))
+    return (dcg.join(idcg, "query_id")
+            .select("query_id",
+                    F.round(F.col("dcg") / F.col("idcg"), ROUND).alias("ndcg")))
 
 
 def q_rrf_fusion(spark, sf_dir):
@@ -419,6 +563,16 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM 
         "bm25_conjunctive_wand": _bm25_topk_sql(k=10, conjunctive=True),
         "bm25_lang_filtered": _bm25_topk_sql(k=10).replace(
             "FROM documents", "FROM (SELECT * FROM documents WHERE lang = 'en')"),
+        # query-time filters: statistics global, candidates narrowed
+        "bm25_filtered_wand": _bm25_topk_sql(k=10, lang="en"),
+        "bm25_tag_filtered": _bm25_topk_sql(
+            k=10, doc_pred="list_contains([d.lang, d.source], 'zh') "
+                           "OR list_contains([d.lang, d.source], 'src3')"),
+        # delete semantics: equals a full recompute over the reduced corpus
+        "bm25_after_delete": _bm25_topk_sql(k=10).replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE NOT ({_DELETE_PRED_SQL}))"),
+        "ndcg_at_k": _ndcg_sql(),
         "topk_payload": payload_sql,
         "rrf_fusion": rrf_sql,
         "html_roundtrip": _html_roundtrip_sql(),
@@ -467,6 +621,10 @@ def _core_query_map():
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_conjunctive_wand": q_bm25_conjunctive_wand,
         "bm25_lang_filtered": q_bm25_lang_filtered,
+        "bm25_filtered_wand": q_bm25_filtered_wand,
+        "bm25_tag_filtered": q_bm25_tag_filtered,
+        "bm25_after_delete": q_bm25_after_delete,
+        "ndcg_at_k": q_ndcg_at_k,
         "topk_payload": q_topk_payload,
         "rrf_fusion": q_rrf_fusion,
         "rankings_sink": q_rankings_sink,

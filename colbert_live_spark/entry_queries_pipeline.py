@@ -15,11 +15,13 @@ ROUND = 6
 NGRAM = 3
 JACCARD_T = 0.5
 MINHASH_N, MINHASH_BANDS = 16, 4
+MAX_SH_DF = 50  # boilerplate shingle cap (dedup_keep path; see dedup.shingles)
 SIMHASH_BITS, SIMHASH_HAM = 60, 8
 NEARDUP_COS = 0.45
+EMB_LSH_BITS, EMB_LSH_BANDS, EMB_DIM = 16, 4, 64
 KNN_QUERIES = [0, 1, 2, 3, 4]
 KNN_K = 10
-IVF_C, IVF_PROBE = 16, 4
+IVF_C, IVF_PROBE, KMEANS_ITERS = 16, 4, 2
 
 
 def _docs(spark, sf_dir):
@@ -68,15 +70,30 @@ def q_embedding_neardup(spark, sf_dir):
             .withColumn("cos", F.round("cos", ROUND)))
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The 100 TB embedding near-dup path: random-hyperplane LSH banding →
+    exact cosine verify on candidates only (no all-pairs join)."""
+    return (dedup.embedding_lsh_pairs(_emb(spark, sf_dir),
+                                      threshold=NEARDUP_COS,
+                                      n_bits=EMB_LSH_BITS,
+                                      bands=EMB_LSH_BANDS, dim=EMB_DIM)
+            .withColumn("cos", F.round("cos", ROUND)))
+
+
 def q_dedup_keep(spark, sf_dir):
     """Composed dedup pipeline output: the surviving document set after
-    removing exact duplicates and near-duplicates (n-gram Jaccard ≥ 0.5,
-    higher doc_id of each pair dropped) — what a training-data pipeline
-    actually ships downstream."""
+    removing exact duplicates and near-duplicates — what a training-data
+    pipeline actually ships downstream. The near-dup stage is the SCALE
+    path: boilerplate-capped shingles (df ≤ MAX_SH_DF) + MinHash-LSH banded
+    candidates + exact Jaccard verify on candidates only (higher doc_id of
+    each pair ≥ 0.5 dropped); no quadratic shingle self-join anywhere."""
     docs = _docs(spark, sf_dir)
     exact = dedup.exact_dup_pairs(docs).select(
         F.col("dup_doc_id").alias("doc_id"))
-    near = (dedup.ngram_jaccard_pairs(docs, n=NGRAM, threshold=JACCARD_T)
+    near = (dedup.minhash_lsh_pairs(docs, n_hashes=MINHASH_N,
+                                    bands=MINHASH_BANDS, n=NGRAM,
+                                    threshold=JACCARD_T,
+                                    max_shingle_df=MAX_SH_DF)
             .select(F.col("doc_b").alias("doc_id")))
     drops = exact.union(near).distinct()
     return (docs.join(drops, "doc_id", "left_anti")
@@ -132,6 +149,57 @@ shingles AS (
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
 """
 
+# same shingle relation with the boilerplate-frequency cap applied — the
+# dedup_keep scale path drops shingles with df > MAX_SH_DF on BOTH sides
+_SHINGLES_CAPPED = f"""
+shingles_raw AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(toks) - {NGRAM} + 2),
+      i -> array_to_string(toks[i:i+{NGRAM - 1}], ' '))) AS shingle
+    FROM (SELECT doc_id, {_tok()} AS toks FROM documents)
+    WHERE len(toks) >= {NGRAM})
+),
+shkeep AS (
+  SELECT shingle FROM shingles_raw GROUP BY shingle
+  HAVING count(*) <= {MAX_SH_DF}
+),
+shingles AS (
+  SELECT s.doc_id, s.shingle FROM shingles_raw s JOIN shkeep USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+# MinHash signatures → banded candidates → exact common-shingle counts, over
+# whatever `shingles` relation precedes it (capped or not)
+_MINHASH_CAND_COMMON = f"""
+sig AS (
+  SELECT doc_id, perm,
+         min(('0x' || substr(md5(perm::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
+           AS minhash
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, {MINHASH_N})) AS perm)
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, (perm // {MINHASH_N // MINHASH_BANDS}) AS band,
+         md5(array_to_string(list_sort(list(perm::VARCHAR || ':'
+             || minhash::VARCHAR)), ',')) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+"""
+
 _JACCARD_TAIL = f"""
 SELECT c.doc_a, c.doc_b,
        round(c.common / CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE), {ROUND})
@@ -168,6 +236,42 @@ _COS = ("list_dot_product({a}.e, {b}.e) / (sqrt(list_dot_product({a}.e, {a}.e))"
         " * sqrt(list_dot_product({b}.e, {b}.e)))")
 
 
+def _embedding_lsh_sql() -> str:
+    """Random-hyperplane LSH near-dup oracle: the SAME deterministic ±1
+    hyperplane constants as the Spark plan (dedup.hyperplanes) are inlined
+    as list literals, so both engines compute identical signatures, band
+    keys, and candidate sets; exact cosine verify on candidates only."""
+    from colbert_live_spark.operators.dedup import hyperplanes
+    planes = hyperplanes(EMB_LSH_BITS, EMB_DIM)
+    per_band = EMB_LSH_BITS // EMB_LSH_BANDS
+    band_exprs = []
+    for b in range(EMB_LSH_BANDS):
+        bits = []
+        for jj in range(per_band):
+            j = b * per_band + jj
+            lit = "[" + ", ".join(f"{x:.1f}" for x in planes[j]) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(e, {lit}) > 0 "
+                        f"THEN {1 << jj} ELSE 0 END)")
+        band_exprs.append("(" + " + ".join(bits) + f") AS bk{b}")
+    key_list = ", ".join(
+        f"'{b}:' || bk{b}::VARCHAR" for b in range(EMB_LSH_BANDS))
+    cos_ab = _COS.format(a="va", b="vb")
+    return f"""
+WITH {_VECS},
+sig AS (SELECT vec_id, {", ".join(band_exprs)} FROM vecs),
+keys AS (SELECT vec_id, unnest([{key_list}]) AS bkey FROM sig),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round({cos_ab}, {ROUND}) AS cos
+FROM cand c
+JOIN vecs va ON va.vec_id = c.id_a
+JOIN vecs vb ON vb.vec_id = c.id_b
+WHERE {cos_ab} >= {NEARDUP_COS}
+"""
+
+
 def oracle_map() -> dict[str, str]:
     cos_ab = _COS.format(a="a", b="b")
     knn_body = f"""
@@ -189,42 +293,60 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, vec_id, round(cos, {ROUND}) AS cos
 FROM ranked WHERE rank <= {KNN_K}
 """
+    # fixed-iteration k-means, unrolled: a{i} = assignment under cents{i};
+    # cents{i+1} = element-wise means rounded to 9dp (matches the Spark
+    # side's per-iteration rounding — see similarity.kmeans_centroids)
+    def cos(e1, e2):
+        return (f"list_dot_product({e1}, {e2}) / "
+                f"(sqrt(list_dot_product({e1}, {e1}))"
+                f" * sqrt(list_dot_product({e2}, {e2})))")
+
+    km = [f"""cents0 AS (
+  SELECT vec_id AS centroid_id, e AS cv FROM vecs
+  ORDER BY vec_id LIMIT {IVF_C}
+)"""]
+    for it in range(KMEANS_ITERS):
+        km.append(f"""a{it} AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos("v.e", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS r
+    FROM vecs v CROSS JOIN cents{it} c) WHERE r = 1
+)""")
+        km.append(f"""cents{it + 1} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT centroid_id, pos, round(avg(val), 9) AS m
+    FROM (SELECT centroid_id, unnest(e) AS val,
+                 unnest(range(1, len(e) + 1)) AS pos FROM a{it})
+    GROUP BY centroid_id, pos)
+  GROUP BY centroid_id
+)""")
+    cents_final = f"cents{KMEANS_ITERS}"
     ivf_body = f"""
 WITH {_VECS},
-cents AS (
-  SELECT vec_id AS centroid_id, e AS ce FROM vecs
-  ORDER BY vec_id LIMIT {IVF_C}
-),
-assign_scored AS (
-  SELECT v.vec_id, v.e, c.centroid_id,
-         list_dot_product(v.e, c.ce) / (sqrt(list_dot_product(v.e, v.e))
-           * sqrt(list_dot_product(c.ce, c.ce))) AS cos
-  FROM vecs v CROSS JOIN cents c
-),
+{",".join(km)},
 assigned AS (
   SELECT vec_id, e, centroid_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, centroid_id ASC) AS r
-    FROM assign_scored) WHERE r = 1
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos("v.e", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS r
+    FROM vecs v CROSS JOIN {cents_final} c) WHERE r = 1
 ),
 q AS (SELECT vec_id AS query_id, e AS qe FROM vecs
       WHERE vec_id IN ({", ".join(map(str, KNN_QUERIES))})),
 qprobe AS (
   SELECT query_id, qe, centroid_id FROM (
     SELECT q.query_id, q.qe, c.centroid_id,
-           list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe))
-             * sqrt(list_dot_product(c.ce, c.ce))) AS cos,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY list_dot_product(q.qe, c.ce)
-                                / (sqrt(list_dot_product(q.qe, q.qe))
-                                   * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+                              ORDER BY {cos("q.qe", "c.cv")} DESC,
                               c.centroid_id ASC) AS r
-    FROM q CROSS JOIN cents c) WHERE r <= {IVF_PROBE}
+    FROM q CROSS JOIN {cents_final} c) WHERE r <= {IVF_PROBE}
 ),
 scored AS (
   SELECT p.query_id, a.vec_id,
-         list_dot_product(p.qe, a.e) / (sqrt(list_dot_product(p.qe, p.qe))
-           * sqrt(list_dot_product(a.e, a.e))) AS cos
+         {cos("p.qe", "a.e")} AS cos
   FROM assigned a JOIN qprobe p ON a.centroid_id = p.centroid_id
   WHERE a.vec_id != p.query_id
 ),
@@ -245,14 +367,12 @@ g AS (SELECT h, min(doc_id) AS keep_doc_id FROM h
 SELECT g.keep_doc_id, h.doc_id AS dup_doc_id
 FROM h JOIN g USING (h) WHERE h.doc_id != g.keep_doc_id
 """,
+        # the dedup_keep oracle mirrors the SCALE path exactly: capped
+        # shingles (df ≤ MAX_SH_DF) → MinHash-LSH candidates → exact
+        # Jaccard verify on candidates only
         "dedup_keep": f"""
-WITH {_SHINGLES},
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
-  FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
+WITH {_SHINGLES_CAPPED},
+{_MINHASH_CAND_COMMON},
 near_drop AS (
   SELECT DISTINCT c.doc_b AS doc_id
   FROM common c
@@ -333,6 +453,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, {ROUND}) AS cos
 FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
 WHERE {cos_ab} >= {NEARDUP_COS}
 """,
+        "embedding_neardup_lsh": _embedding_lsh_sql(),
         "knn_bruteforce": knn_body,
         "knn_ivf": ivf_body,
         "text_stats": f"""
@@ -361,6 +482,7 @@ def query_map():
         "simhash_signatures": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "text_stats": q_text_stats,

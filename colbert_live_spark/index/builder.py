@@ -13,12 +13,23 @@ build resumes by anti-joining pending groups against the ledger — completed
 groups are never re-read.
 
 Stage 2 — ``merge_index``: one idempotent job (overwrite semantics):
-dictionary with dense term ids + exact df/idf, head-term salting
-(``n_salts = ceil(df / salt_rows)``), then the big merge-shuffle:
-``repartitionByRange(term_id, salt, doc_id)`` + ``sortWithinPartitions`` +
-streaming group-encode in ``mapInPandas`` → block-compressed term-sharded
+dictionary with dense term ids + exact df/idf, a global doc-shard salt
+(``salt = hash(doc_id) mod doc_shards`` — the same shard for every term, so
+one shard holds the complete mini-index of its doc subset), then the big
+merge-shuffle: hash ``repartition(term_id, salt)`` + ``sortWithinPartitions``
++ streaming group-encode in ``mapInPandas`` → block-compressed term-sharded
 postings, written sorted by term_id so parquet row-group stats prune
 query-time term lookups.
+
+The doc-shard salt serves two masters at once:
+- **skew**: ``doc_shards >= ceil(max df / salt_rows)`` splits every posting
+  list into doc-disjoint sub-lists of ≤ ``salt_rows`` rows, so the largest
+  (term, salt) merge group is bounded regardless of Zipf head terms;
+- **batched serving**: because the shard is doc-complete across terms, query
+  evaluation groups blocks by shard (not by query) — each shard scores ALL
+  queries of a batch locally and only k rows per (query, shard) merge
+  globally. Compressed blocks move exactly once per batch, independent of
+  batch size (the round-1 per-query replication fix; see operators/wand.py).
 
 Scale notes:
 - the ONLY large shuffle is the range partition of runs; salting bounds the
@@ -91,11 +102,18 @@ def _ledger_files(out_dir: str) -> list[str]:
 
 
 def completed_groups(spark: SparkSession, out_dir: str) -> set[int]:
+    return set(completed_group_files(out_dir))
+
+
+def completed_group_files(out_dir: str) -> dict[int, list[str]]:
+    """gid -> input-file list recorded at commit time (lineage)."""
     import pyarrow.parquet as pq
-    done: set[int] = set()
+    done: dict[int, list[str]] = {}
     for f in _ledger_files(out_dir):
-        t = pq.read_table(f, columns=["gid", "stage"]).to_pylist()
-        done.update(r["gid"] for r in t if r["stage"] == "runs")
+        t = pq.read_table(f, columns=["gid", "stage", "files"]).to_pylist()
+        for r in t:
+            if r["stage"] == "runs":
+                done[r["gid"]] = json.loads(r["files"])
     return done
 
 
@@ -120,6 +138,20 @@ def _append_ledger(spark: SparkSession, out_dir: str, row: tuple) -> None:
     os.replace(tmp, f"{out_dir}/ledger/commit-{uuid.uuid4().hex}.parquet")
 
 
+def _is_bare_scan(docs: DataFrame) -> bool:
+    """True iff ``docs`` is an untransformed file scan (its analyzed logical
+    plan is a bare relation). Only then may build_runs re-read the input
+    files per commit group — re-reading a *transformed* DataFrame's files
+    would silently discard the transformation (filters, id shifts, ...)."""
+    try:
+        plan = docs._jdf.queryExecution().analyzed()
+        name = plan.getClass().getSimpleName()
+        return name in ("LogicalRelation", "LogicalRelationWithTable") \
+            and plan.children().isEmpty()
+    except Exception:
+        return False
+
+
 def build_runs(
     spark: SparkSession,
     docs: DataFrame,
@@ -128,28 +160,41 @@ def build_runs(
     text_col: str = "text",
     n_groups: int | None = None,
     fail_after_group: int | None = None,
+    max_concurrency: int = 1,
 ) -> list[int]:
     """Stage 1. Returns the list of group ids processed in this invocation.
 
     ``fail_after_group`` is test hookery for the kill-and-resume fixture
     (FIXTURES.md §5): raise after committing that many groups.
+
+    ``max_concurrency`` > 1 submits group jobs from a bounded driver thread
+    pool (Spark schedules concurrent jobs fine); each group still commits
+    its ledger row independently, so resume semantics are unchanged.
     """
-    files = sorted(docs.inputFiles())
-    done = completed_groups(spark, out_dir)
+    files = sorted(docs.inputFiles()) if _is_bare_scan(docs) else []
+    done = completed_group_files(out_dir)
     if files:
         if n_groups is None:
             n_groups = len(files)
         groups = {g: [f for i, f in enumerate(files) if i % n_groups == g]
                   for g in range(n_groups)}
         groups = {g: fl for g, fl in groups.items() if fl}
+        # resume safety: a completed gid whose recorded file list no longer
+        # matches the current assignment means files were added/removed (or
+        # n_groups changed) between crash and resume — silently reusing the
+        # gid would skip or double-index docs. Fail loudly instead.
+        for gid, recorded in done.items():
+            if recorded and gid in groups and recorded != groups[gid]:
+                raise RuntimeError(
+                    f"resume mismatch for group {gid}: ledger recorded "
+                    f"{len(recorded)} files but current assignment has "
+                    f"{len(groups[gid])} — input files or n_groups changed "
+                    "since the original build; use a fresh out_dir")
     else:
         n_groups = n_groups or 16
         groups = {g: None for g in range(n_groups)}
 
-    processed: list[int] = []
-    for gid in sorted(groups):
-        if gid in done:
-            continue
+    def process(gid: int) -> int:
         t0 = time.time()
         if groups[gid] is not None:
             part = spark.read.schema(docs.schema).parquet(*groups[gid])
@@ -169,9 +214,24 @@ def build_runs(
         _append_ledger(spark, out_dir, (
             gid, "runs", n_docs, n_post, _dir_bytes(run_path), wall_ms,
             json.dumps(groups[gid] or [])))
-        processed.append(gid)
-        if fail_after_group is not None and len(processed) >= fail_after_group:
-            raise RuntimeError(f"injected failure after group {gid}")
+        return gid
+
+    pending = [g for g in sorted(groups) if g not in done]
+    processed: list[int] = []
+    if max_concurrency > 1 and fail_after_group is None and len(pending) > 1:
+        # bounded driver thread pool: overlaps one group's shuffle/write with
+        # the next group's scan (at 1000 groups a strictly sequential driver
+        # serializes the cluster); ledger appends are one-file-per-commit so
+        # they are concurrency-safe
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            processed = sorted(pool.map(process, pending))
+    else:
+        for gid in pending:
+            processed.append(process(gid))
+            if fail_after_group is not None \
+                    and len(processed) >= fail_after_group:
+                raise RuntimeError(f"injected failure after group {gid}")
     return processed
 
 
@@ -189,13 +249,17 @@ def merge_index(
     salt_rows: int = 1_000_000,
     block_size: int = codec.BLOCK_SIZE,
     doc_meta: DataFrame | None = None,
+    doc_shards: int | None = None,
 ) -> None:
     """Stage 2: runs → dictionary + compressed term-sharded postings + stats.
 
-    ``salt_rows``: max postings per (term, salt) sub-list — the head-term
-    skew bound (north rule). Sub-lists are doc-disjoint (salt = hash(doc_id)
-    mod n_salts) and each is doc-sorted, so query-time treats them as
-    independent sorted lists of the same term.
+    ``doc_shards`` (D): the global doc-shard count. salt = hash(doc_id) mod D
+    for EVERY term, so shard s is a complete mini-index of its doc subset —
+    the batched-serving topology groups blocks by shard and scores all
+    queries per shard (operators/wand.py). Defaults to
+    max(n_shards, ceil(max df / salt_rows)) so the largest (term, salt)
+    merge group stays ≤ ``salt_rows`` rows (the head-term skew bound,
+    north rule) while providing ≥ n_shards of serving parallelism.
     """
     t0 = time.time()
     runs = (spark.read.option("recursiveFileLookup", "true")
@@ -209,8 +273,9 @@ def merge_index(
     dstats = spark.read.parquet(f"{out_dir}/docs")
 
     st = dstats.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = st.n_docs, float(st.avgdl)
+                    F.avg("dl").alias("avgdl"),
+                    F.sum("dl").cast("long").alias("sum_dl")).collect()[0]
+    n_docs, avgdl, sum_dl = st.n_docs, float(st.avgdl), int(st.sum_dl or 0)
     # stats table written driver-side (single row — not worth a Spark job)
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -222,13 +287,11 @@ def merge_index(
         f"{out_dir}/stats/stats.parquet")
 
     df_t = runs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    dict_df = _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
-    dict_df = dict_df.select(
+    raw_dict = _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
+    dict_df = raw_dict.select(
         "term", "term_id", "df",
         F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
-              / (F.col("df") + 0.5)).alias("idf"),
-        F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(salt_rows)))
-         .cast("int").alias("n_salts"))
+              / (F.col("df") + 0.5)).alias("idf"))
     # few files (query-time dictionary point-lookups pay per-file overhead).
     # MUST be repartition, not coalesce: coalesce fuses into the id-assign
     # mapInPandas stage and changes TaskContext.partitionId() under it,
@@ -237,14 +300,17 @@ def merge_index(
         "overwrite").parquet(f"{out_dir}/dict")
     # NOT re-read from disk: assign_dense_ids keeps its input persisted, so
     # reuse stays deterministic and we skip a read-back job
-    dict_df = dict_df
 
-    # The merge-shuffle: postings + term ids, salted, range-partitioned so
+    if doc_shards is None:
+        # vocab-sized agg over the persisted dictionary input — cheap
+        df_max = int(dict_df.agg(F.max("df")).collect()[0][0] or 1)
+        doc_shards = max(n_shards, math.ceil(df_max / salt_rows))
+
+    # The merge-shuffle: postings + term ids, salted by global doc shard so
     # each (term_id, salt) group is contiguous and sorted by doc_id.
-    tagged = (runs.join(F.broadcast(dict_df.select("term", "term_id",
-                                                   "n_salts")), "term")
+    tagged = (runs.join(F.broadcast(dict_df.select("term", "term_id")), "term")
               .select("term_id",
-                      F.pmod(F.xxhash64("doc_id"), F.col("n_salts"))
+                      F.pmod(F.xxhash64("doc_id"), F.lit(doc_shards))
                        .cast("int").alias("salt"),
                       "doc_id", "tf", "dl"))
     # hash repartition, not repartitionByRange: the range sampler would scan
@@ -303,7 +369,13 @@ def merge_index(
     with open(f"{out_dir}/_INDEX_META.json", "w") as f:
         json.dump({"n_shards": n_shards, "salt_rows": salt_rows,
                    "block_size": block_size, "n_docs": int(n_docs),
-                   "avgdl": avgdl}, f)
+                   "avgdl": avgdl, "sum_dl": sum_dl,
+                   "doc_shards": int(doc_shards)}, f)
+    # release the dense-id persist (it leaked one cached DataFrame per
+    # merge_index call — one per segment / streaming micro-batch)
+    cached = getattr(raw_dict, "_cls_persisted", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def build_index(
@@ -316,9 +388,12 @@ def build_index(
     n_shards: int = 16,
     salt_rows: int = 1_000_000,
     doc_meta: DataFrame | None = None,
+    doc_shards: int | None = None,
+    max_concurrency: int = 1,
 ) -> None:
     """Full build: checkpointed runs then merge. Safe to re-invoke after a
     failure — completed run groups are skipped via the ledger."""
-    build_runs(spark, docs, out_dir, id_col, text_col, n_groups)
+    build_runs(spark, docs, out_dir, id_col, text_col, n_groups,
+               max_concurrency=max_concurrency)
     merge_index(spark, out_dir, n_shards=n_shards, salt_rows=salt_rows,
-                doc_meta=doc_meta)
+                doc_meta=doc_meta, doc_shards=doc_shards)

@@ -56,4 +56,9 @@ def assign_dense_ids(df: DataFrame, key_col: str, id_name: str = "doc_id",
 
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in parted.schema.fields) + f", {id_name} long"
-    return parted.mapInPandas(assign, schema=out_schema)
+    out = parted.mapInPandas(assign, schema=out_schema)
+    # expose the persisted parent so callers can release it once the result
+    # is materialized (otherwise each call leaks one cached DataFrame for
+    # the session lifetime — e.g. one per streaming micro-batch)
+    out._cls_persisted = parted
+    return out

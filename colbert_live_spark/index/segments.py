@@ -1,50 +1,78 @@
-"""Incremental (live-update) index maintenance via segments + compaction.
+"""Incremental (live-update) index maintenance via segments + tombstones +
+compaction.
 
-The reference's defining property is live updates: rows inserted into the
-backing DB are immediately searchable because the index is update-in-place
-(README.md:3-4,21-23; inserts `example/cmdline/db.py:95-105`). The Spark
-analog is merge-on-read segments — the Lucene/LSM pattern:
+The reference's defining property is live updates: "add, modify, or remove
+documents ... without costly reindexing" (README.md:21-23; inserts
+`example/cmdline/db.py:95-105`). The Spark analog is merge-on-read segments —
+the Lucene/LSM pattern:
 
 - ``add_segment``: each ingest batch becomes an independent mini-index
   (built with the same two-stage builder), registered in a root MANIFEST.
-  Doc ids are made globally unique by a per-segment base offset.
+  Doc ids are made globally unique by a per-segment base offset. All
+  segments share the root's ``doc_shards`` so the doc-shard key is
+  consistent across the whole root (batched serving + distributed
+  tombstone/filter cogroups depend on this).
+- ``delete_docs``: deletes are tombstones — a doc-id set plus *exact*
+  per-term df deltas and dl sums captured from the checkpointed stage-1
+  runs at delete time. Queries anti-filter tombstoned ids inside the
+  scorer and correct N / avgdl / df→idf, so results are exactly what a
+  from-scratch rebuild without those docs would produce (tested).
+- ``update_docs`` = delete + re-add as a new segment ("modify").
 - ``segment_search``: queries union all active segments' matched posting
   blocks; **corpus statistics (N, avgdl, df→idf) are computed globally
-  across segments at query time**, so scores are exactly what a
-  from-scratch rebuild would produce (rank-identity preserved under
-  incremental ingest — tested). This works because blocks store the
-  idf-free BM25 weight; idf multiplies in at query time.
+  across segments (minus tombstones) at query time**. Blocks store the
+  idf-free BM25 weight, so stored data stays valid as global df changes;
+  because the stored block ``max_weight`` was computed with the segment's
+  own avgdl, it is scaled by max(1, avgdl_global/avgdl_segment) before
+  pruning — w(avgdl) grows at most linearly in avgdl, so the scaled bound
+  remains a true upper bound (safe pruning under avgdl drift).
 - ``compact``: folds all segments' stage-1 runs into one new segment via
-  the ordinary merge (the LSM compaction), then swaps the manifest.
+  the ordinary merge (the LSM compaction), physically dropping tombstoned
+  docs, then swaps the manifest.
 
 Scale: a segment is the unit of ingest atomicity; query cost grows with
-segment count only in the tiny dictionary-lookup phase (block reads stay
-proportional to matched postings), and compaction bounds segment count.
+segment count only in the tiny dictionary-lookup phase (ONE unioned Spark
+job over all segment dictionaries, not one job per segment), and compaction
+bounds segment count. Tombstones shuffle by doc shard and cogroup with the
+matched blocks — nothing is collected to the driver.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from colbert_live_spark.functions.tokenize import py_tokenize
 from colbert_live_spark.index.builder import build_index, merge_index
-from colbert_live_spark.operators.wand import OUT_SCHEMA, score_query_blocks
+from colbert_live_spark.operators.wand import (
+    OUT_SCHEMA, PARTIAL_SCHEMA, merge_topk, score_shard_queries, shard_expr)
 
 MANIFEST = "MANIFEST.json"
+DEFAULT_DOC_SHARDS = 16
 
 
 def _read_manifest(root: str) -> dict:
     p = os.path.join(root, MANIFEST)
     if not os.path.exists(p):
-        return {"segments": [], "next_doc_base": 0, "seq": 0}
+        return {"segments": [], "next_doc_base": 0, "seq": 0,
+                "doc_shards": None, "last_batch_id": -1,
+                "tombstones": {"files": [], "delta_files": [],
+                               "n_deleted": 0, "deleted_dl": 0}}
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    m.setdefault("doc_shards", None)
+    m.setdefault("last_batch_id", -1)
+    m.setdefault("tombstones", {"files": [], "delta_files": [],
+                                "n_deleted": 0, "deleted_dl": 0})
+    return m
 
 
 def _write_manifest(root: str, m: dict) -> None:
@@ -63,34 +91,145 @@ def add_segment(
     text_col: str = "text",
     n_shards: int = 4,
     salt_rows: int = 1_000_000,
-) -> str:
+    doc_shards: int | None = None,
+    batch_id: int | None = None,
+) -> str | None:
     """Ingest one batch as a new segment; ``id_col`` values must be locally
     unique — they are offset by the manifest's next_doc_base for global
-    uniqueness. Returns the segment name."""
+    uniqueness. Returns the segment name.
+
+    ``batch_id``: idempotence token for at-least-once callers (Structured
+    Streaming ``foreachBatch`` replays a batch if the sink committed but the
+    stream checkpoint did not). A batch id ≤ the last committed one is a
+    no-op returning None — the idempotent-sink pattern.
+    """
     m = _read_manifest(root)
+    if batch_id is not None and batch_id <= m["last_batch_id"]:
+        return None  # replayed micro-batch: already ingested
+    if m["doc_shards"] is None:
+        m["doc_shards"] = doc_shards or DEFAULT_DOC_SHARDS
     base = m["next_doc_base"]
     seg = f"seg{m['seq']:05d}"
     seg_dir = os.path.join(root, "segments", seg)
-    shifted = docs.withColumn(id_col, F.col(id_col) + F.lit(base))
+    shifted = docs.withColumn(id_col, F.col(id_col).cast("long") + F.lit(base))
     build_index(spark, shifted, seg_dir, id_col=id_col, text_col=text_col,
-                n_shards=n_shards, salt_rows=salt_rows)
+                n_groups=1, n_shards=n_shards, salt_rows=salt_rows,
+                doc_shards=m["doc_shards"])
     with open(os.path.join(seg_dir, "_INDEX_META.json")) as f:
         meta = json.load(f)
     max_id = spark.read.parquet(f"{seg_dir}/docs").agg(
         F.max("doc_id")).collect()[0][0]
     m["segments"].append({"name": seg, "n_docs": meta["n_docs"],
-                          "avgdl": meta["avgdl"], "doc_base": base,
+                          "avgdl": meta["avgdl"],
+                          "sum_dl": meta.get("sum_dl"), "doc_base": base,
                           "ts": int(time.time())})
     m["next_doc_base"] = int(max_id) + 1
     m["seq"] += 1
+    if batch_id is not None:
+        m["last_batch_id"] = batch_id
     _write_manifest(root, m)
     return seg
 
 
+def _seg_sum_dl(s: dict) -> int:
+    if s.get("sum_dl") is not None:
+        return int(s["sum_dl"])
+    return int(round(s["avgdl"] * s["n_docs"]))
+
+
 def _global_stats(m: dict) -> tuple[int, float]:
-    n = sum(s["n_docs"] for s in m["segments"])
-    total_dl = sum(s["avgdl"] * s["n_docs"] for s in m["segments"])
+    """(N, avgdl) over live (non-tombstoned) docs — exact: integer dl sums."""
+    n = sum(s["n_docs"] for s in m["segments"]) - m["tombstones"]["n_deleted"]
+    total_dl = (sum(_seg_sum_dl(s) for s in m["segments"])
+                - m["tombstones"]["deleted_dl"])
     return n, (total_dl / n if n else 0.0)
+
+
+def _all_runs(spark: SparkSession, root: str, m: dict) -> DataFrame:
+    parts = [spark.read.option("recursiveFileLookup", "true")
+             .parquet(f"{root}/segments/{s['name']}/runs")
+             for s in m["segments"]]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _tombstone_ids(spark: SparkSession, root: str, m: dict) -> DataFrame | None:
+    files = m["tombstones"]["files"]
+    if not files:
+        return None
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def delete_docs(spark: SparkSession, root: str,
+                doc_ids: DataFrame | list[int]) -> int:
+    """Tombstone a set of global doc ids ("remove documents", reference
+    README.md:21-23). Captures exact per-term df deltas and the deleted dl
+    sum from the checkpointed stage-1 runs so query-time statistics equal a
+    rebuild without those docs. Already-deleted and nonexistent ids are
+    ignored. Returns the number of newly deleted docs."""
+    m = _read_manifest(root)
+    assert m["segments"], "nothing to delete from"
+    if isinstance(doc_ids, list):
+        ids = spark.createDataFrame([(int(i),) for i in doc_ids],
+                                    "doc_id long")
+    else:
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
+                             .alias("doc_id"))
+    ids = ids.distinct()
+    prior = _tombstone_ids(spark, root, m)
+    if prior is not None:
+        ids = ids.join(prior, "doc_id", "left_anti")
+
+    runs = _all_runs(spark, root, m)
+    # one job: per-term df deltas + per-doc dl for the effective delete set
+    hit = runs.join(F.broadcast(ids), "doc_id")
+    agg = hit.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ddf"))
+    docdl = hit.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = docdl.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("dl").cast("long").alias("sdl")).collect()[0]
+    n_del, sdl = int(stats.n or 0), int(stats.sdl or 0)
+    if n_del == 0:
+        return 0
+
+    tag = f"{m['seq']:05d}-{len(m['tombstones']['files']):04d}"
+    tomb_rel = f"tombstones/tomb-{tag}"
+    delta_rel = f"tombstones/delta-{tag}"
+    docdl.select("doc_id").repartition(1).write.mode("overwrite").parquet(
+        os.path.join(root, tomb_rel))
+    agg.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(root, delta_rel))
+    t = m["tombstones"]
+    t["files"].append(tomb_rel)
+    t["delta_files"].append(delta_rel)
+    t["n_deleted"] += n_del
+    t["deleted_dl"] += sdl
+    _write_manifest(root, m)
+    return n_del
+
+
+def update_docs(spark: SparkSession, docs: DataFrame, root: str,
+                doc_ids: DataFrame | list[int],
+                id_col: str = "doc_id", text_col: str = "text",
+                **segment_kw) -> str | None:
+    """"Modify documents": tombstone the old versions, ingest the new ones
+    as a fresh segment (delete + add — the LSM update)."""
+    n = delete_docs(spark, root, doc_ids)
+    assert n >= 0
+    return add_segment(spark, docs, root, id_col=id_col, text_col=text_col,
+                       **segment_kw)
+
+
+def _df_deltas(spark: SparkSession, root: str, m: dict,
+               terms: list[str]) -> dict[str, int]:
+    files = m["tombstones"]["delta_files"]
+    if not files or not terms:
+        return {}
+    d = (spark.read.parquet(*[os.path.join(root, f) for f in files])
+         .filter(F.col("term").isin(terms))
+         .groupBy("term").agg(F.sum("ddf").alias("ddf")).collect())
+    return {r.term: int(r.ddf) for r in d}
 
 
 def segment_search(
@@ -101,76 +240,118 @@ def segment_search(
     prune: bool = True,
 ) -> DataFrame:
     """Batched top-k across all active segments, scores identical to a
-    monolithic index over the union of all ingested docs."""
-    import math
+    monolithic index rebuilt over exactly the live (non-deleted) docs.
 
-    import pandas as pd
-
+    Same doc-sharded topology as :func:`~colbert_live_spark.operators.wand.
+    wand_search`: matched blocks group by the root-wide doc shard; each
+    shard scores all queries once; tombstone ids cogroup by the same shard
+    key (never collected to the driver)."""
     m = _read_manifest(root)
     if not m["segments"]:
         return spark.createDataFrame([], OUT_SCHEMA)
     n_docs, avgdl = _global_stats(m)
+    if n_docs <= 0:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    doc_shards = m["doc_shards"] or DEFAULT_DOC_SHARDS
 
     all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
-    # per-segment dictionary lookups (tiny: |terms| rows each)
+    # ONE unioned dictionary-lookup job across all segments (|terms| rows
+    # per segment — driver-serialized per-segment jobs would Amdahl-cap a
+    # 1000-segment root)
+    dict_parts = []
+    for s in m["segments"]:
+        dict_parts.append(
+            spark.read.parquet(f"{root}/segments/{s['name']}/dict")
+            .filter(F.col("term").isin(all_terms))
+            .select(F.lit(s["name"]).alias("seg"), "term", "term_id", "df"))
+    dicts = dict_parts[0]
+    for p in dict_parts[1:]:
+        dicts = dicts.unionByName(p)
+    rows = dicts.collect()
     seg_dicts: dict[str, dict[str, tuple[int, int]]] = {}
     global_df: dict[str, int] = {}
-    for s in m["segments"]:
-        d = (spark.read.parquet(f"{root}/segments/{s['name']}/dict")
-             .filter(F.col("term").isin(all_terms))
-             .select("term", "term_id", "df").collect())
-        seg_dicts[s["name"]] = {r.term: (r.term_id, r.df) for r in d}
-        for r in d:
-            global_df[r.term] = global_df.get(r.term, 0) + r.df
+    for r in rows:
+        seg_dicts.setdefault(r.seg, {})[r.term] = (r.term_id, r.df)
+        global_df[r.term] = global_df.get(r.term, 0) + r.df
+    # subtract tombstoned occurrences (exact deltas captured at delete time)
+    for term, ddf in _df_deltas(spark, root, m, list(global_df)).items():
+        global_df[term] = global_df.get(term, 0) - ddf
+    global_df = {t: df for t, df in global_df.items() if df > 0}
+    if not global_df:
+        return spark.createDataFrame([], OUT_SCHEMA)
 
     gterm_id = {t: i for i, t in enumerate(sorted(global_df))}
     idf = {t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
            for t, df in global_df.items()}
 
-    qrows = []  # (seg, local term_id) -> (query_id, qtf, global term, idf)
+    qmeta: dict[str, list[tuple[int, float]]] = {}
     for qid, qtext in queries:
         counts: dict[str, int] = {}
         for t in py_tokenize(qtext):
             counts[t] = counts.get(t, 0) + 1
-        for term, qtf in sorted(counts.items()):
-            if term not in global_df:
-                continue
-            for seg_name, d in seg_dicts.items():
-                if term in d:
-                    qrows.append((seg_name, d[term][0], qid, qtf,
-                                  gterm_id[term], idf[term]))
-    if not qrows:
+        terms = [(gterm_id[t], qtf * idf[t])
+                 for t, qtf in sorted(counts.items()) if t in global_df]
+        # global processing order — shard-independent float summation
+        terms.sort(key=lambda x: (-x[1], x[0]))
+        if terms:
+            qmeta[qid] = terms
+    if not qmeta:
         return spark.createDataFrame([], OUT_SCHEMA)
-    qdf = spark.createDataFrame(
-        qrows, "seg string, term_id long, query_id string, qtf int, "
-               "gterm long, idf double")
+    bc = spark.sparkContext.broadcast(qmeta)
 
     parts = []
     for s in m["segments"]:
-        local_ids = [d[0] for d in seg_dicts[s["name"]].values()]
-        if not local_ids:
+        sd = seg_dicts.get(s["name"], {})
+        mapping = [(tid, gterm_id[t]) for t, (tid, _df) in sd.items()
+                   if t in gterm_id]
+        if not mapping:
             continue
+        map_df = spark.createDataFrame(mapping, "term_id long, gterm long")
+        # pruning-safety under avgdl drift: stored max_weight used the
+        # segment's own avgdl; w is increasing in avgdl with ratio bounded
+        # by avgdl_g/avgdl_s, so scaling keeps it a true upper bound
+        w_scale = max(1.0, avgdl / float(s["avgdl"])) if s["avgdl"] else 1.0
         p = (spark.read.parquet(f"{root}/segments/{s['name']}/postings")
-             .filter(F.col("term_id").isin(local_ids))
-             .withColumn("seg", F.lit(s["name"])))
+             .filter(F.col("term_id").isin([t for t, _ in mapping]))
+             .join(F.broadcast(map_df), "term_id")
+             .select(F.col("gterm").alias("term_id"), "salt", "first_doc",
+                     "last_doc", "n",
+                     (F.col("max_weight") * F.lit(w_scale))
+                     .alias("max_weight"),
+                     "docs", "tfs", "dls"))
         parts.append(p)
     if not parts:
         return spark.createDataFrame([], OUT_SCHEMA)
     blocks = parts[0]
     for p in parts[1:]:
         blocks = blocks.unionByName(p)
-    joined = (blocks.join(F.broadcast(qdf), ["seg", "term_id"])
-              .drop("term_id").withColumnRenamed("gterm", "term_id"))
 
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        return score_query_blocks(pdf, avgdl=avgdl, k=k, prune=prune)
+    tombs = _tombstone_ids(spark, root, m)
+    if tombs is not None:
+        tdf = tombs.withColumn("shard",
+                               shard_expr(F.col("doc_id"), doc_shards))
 
-    return joined.groupBy("query_id").applyInPandas(run, schema=OUT_SCHEMA)
+        def run2(blocks_pdf: pd.DataFrame,
+                 tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+            ex = np.unique(tomb_pdf["doc_id"].to_numpy(np.int64))
+            return score_shard_queries(blocks_pdf, bc.value, {}, avgdl, k,
+                                       prune, exclude_ids=ex)
+
+        partial = (blocks.groupBy("salt").cogroup(tdf.groupBy("shard"))
+                   .applyInPandas(run2, schema=PARTIAL_SCHEMA))
+    else:
+        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard_queries(pdf, bc.value, {}, avgdl, k, prune)
+
+        partial = blocks.groupBy("salt").applyInPandas(
+            run, schema=PARTIAL_SCHEMA)
+    return merge_topk(partial, k)
 
 
 def compact(spark: SparkSession, root: str, n_shards: int = 4,
             salt_rows: int = 1_000_000) -> str:
-    """Fold all segments into one (runs are re-merged, doc ids preserved).
+    """Fold all segments into one (runs are re-merged, doc ids preserved),
+    physically dropping tombstoned docs and clearing the tombstone set.
 
     Reuses every segment's checkpointed stage-1 runs — compaction never
     re-tokenizes. Old segments are dropped from the manifest (directories
@@ -180,19 +361,39 @@ def compact(spark: SparkSession, root: str, n_shards: int = 4,
     seg = f"seg{m['seq']:05d}"
     seg_dir = os.path.join(root, "segments", seg)
     os.makedirs(seg_dir, exist_ok=True)
-    for sub in ("runs", "doclens"):
-        for s in m["segments"]:
-            src = f"{root}/segments/{s['name']}/{sub}"
-            for gid_dir in os.listdir(src):
-                # no '=' in the name — it would be misread as a partition key
-                dst = (f"{seg_dir}/{sub}/"
-                       f"{s['name']}-{gid_dir.replace('gid=', 'g')}")
-                shutil.copytree(f"{src}/{gid_dir}", dst)
-    merge_index(spark, seg_dir, n_shards=n_shards, salt_rows=salt_rows)
-    n_docs, avgdl = _global_stats(m)
-    old = [s["name"] for s in m["segments"]]
-    m["segments"] = [{"name": seg, "n_docs": n_docs, "avgdl": avgdl,
+    tombs = _tombstone_ids(spark, root, m)
+    if tombs is None:
+        for sub in ("runs", "doclens"):
+            for s in m["segments"]:
+                src = f"{root}/segments/{s['name']}/{sub}"
+                for gid_dir in os.listdir(src):
+                    # no '=' in the name — it would be misread as a partition key
+                    dst = (f"{seg_dir}/{sub}/"
+                           f"{s['name']}-{gid_dir.replace('gid=', 'g')}")
+                    shutil.copytree(f"{src}/{gid_dir}", dst)
+    else:
+        # physical drop: rewrite runs/doclens minus tombstones (one job each)
+        t = F.broadcast(tombs)
+        (_all_runs(spark, root, m).join(t, "doc_id", "left_anti")
+         .write.mode("overwrite").parquet(f"{seg_dir}/runs/g0"))
+        dl_parts = [spark.read.option("recursiveFileLookup", "true")
+                    .parquet(f"{root}/segments/{s['name']}/doclens")
+                    for s in m["segments"]]
+        dls = dl_parts[0]
+        for p in dl_parts[1:]:
+            dls = dls.unionByName(p)
+        (dls.join(t, "doc_id", "left_anti")
+         .write.mode("overwrite").parquet(f"{seg_dir}/doclens/g0"))
+    merge_index(spark, seg_dir, n_shards=n_shards, salt_rows=salt_rows,
+                doc_shards=m["doc_shards"] or DEFAULT_DOC_SHARDS)
+    with open(os.path.join(seg_dir, "_INDEX_META.json")) as f:
+        meta = json.load(f)
+    m["segments"] = [{"name": seg, "n_docs": meta["n_docs"],
+                      "avgdl": meta["avgdl"], "sum_dl": meta.get("sum_dl"),
                       "doc_base": 0, "ts": int(time.time())}]
     m["seq"] += 1
+    m["tombstones"] = {"files": [], "delta_files": [],
+                       "n_deleted": 0, "deleted_dl": 0}
     _write_manifest(root, m)
+    shutil.rmtree(os.path.join(root, "tombstones"), ignore_errors=True)
     return seg

@@ -49,23 +49,43 @@ def exact_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             max_shingle_df: int | None = None) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams, JVM-side via transform
-    over the token array."""
+    over the token array.
+
+    ``max_shingle_df``: drop shingles appearing in more than this many docs
+    (the standard boilerplate cap — at web scale one shared boilerplate
+    shingle with df=10^6 makes a 10^12-pair bucket in any shingle
+    self-join; capped shingles bound every bucket). The cap changes the
+    shingle sets on BOTH sides of downstream Jaccard, so oracles must apply
+    the same cap."""
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        tokenize_expr(text_col).alias("t"))
     sh = F.transform(
         F.sequence(F.lit(0), F.size("t") - n),
         lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)))
-    return (toks.filter(F.size("t") >= n)
-            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+    out = (toks.filter(F.size("t") >= n)
+           .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+    if max_shingle_df is not None:
+        freq = (out.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("sh_df"))
+                .filter(F.col("sh_df") <= max_shingle_df)
+                .select("shingle"))
+        out = out.join(freq, "shingle").select("doc_id", "shingle")
+    return out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """(doc_a, doc_b, jaccard) exact n-gram Jaccard ≥ threshold, a < b."""
-    sh = shingles(docs, n, id_col, text_col)
+                        text_col: str = "text",
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) exact n-gram Jaccard ≥ threshold, a < b.
+
+    Quadratic inside a shingle bucket — at scale pass ``max_shingle_df`` to
+    bound buckets, or use :func:`minhash_lsh_pairs` (candidates via banding,
+    exact verify only on candidates)."""
+    sh = shingles(docs, n, id_col, text_col, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -86,9 +106,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       max_shingle_df: int | None = None) -> DataFrame:
     """(doc_id, perm, minhash) — one row per permutation; portable hashes."""
-    sh = shingles(docs, n, id_col, text_col)
+    sh = shingles(docs, n, id_col, text_col, max_shingle_df)
     perms = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("perm")
     expanded = sh.select("doc_id", "shingle", perms)
     return (expanded
@@ -101,14 +122,16 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
                       n: int = 3, threshold: float = 0.5,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_shingle_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH-banded candidates, exact-verified.
 
     rows-per-band = n_hashes / bands. Candidates = docs sharing any band
     key; the expensive exact Jaccard join runs only on candidates.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col)
+    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col,
+                             max_shingle_df)
     band_keys = (sig.withColumn("band", (F.col("perm") / rows_per_band)
                                 .cast("int"))
                  .groupBy("doc_id", "band")
@@ -122,7 +145,7 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")).distinct())
-    sh = shingles(docs, n, id_col, text_col)
+    sh = shingles(docs, n, id_col, text_col, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -195,12 +218,82 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60,
         .select("doc_a", "doc_b", "hamming"))
 
 
+def hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane components derived from md5 —
+    identical constants are inlined into the Spark plan and the DuckDB
+    oracle SQL, so both engines bucket identically."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"rh:{j}:{i}".encode())
+                        .hexdigest()[0], 16) & 1 else -1.0
+             for i in range(dim)]
+            for j in range(n_bits)]
+
+
+def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
+                        n_bits: int = 16, bands: int = 4, dim: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id_a, id_b, cos) — near-dup pairs via random-hyperplane (SimHash for
+    vectors) LSH: sign-bit signatures, banded equi-join for candidates,
+    exact cosine verify on candidates only. This is the 100 TB path for
+    embedding near-dup: no all-pairs join ever materializes — candidate
+    volume is bounded by band-bucket sizes (uniform under random
+    hyperplanes), and the exact verify is a self-join on candidate ids.
+    Recall vs the exact form is the standard LSH trade (tunable via
+    n_bits/bands); determinism makes it exactly oracle-checkable."""
+    planes = hyperplanes(n_bits, dim)
+    per_band = n_bits // bands
+    v = emb.select(F.col(id_col).alias("id"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("v"))
+
+    def dot_plane(j):
+        plane = F.array(*[F.lit(x) for x in planes[j]])
+        return F.aggregate(F.zip_with(F.col("v"), plane, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    band_cols = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for jj in range(per_band):
+            j = b * per_band + jj
+            bit = F.when(dot_plane(j) > 0, F.lit(1)).otherwise(F.lit(0))
+            key = key + (bit.cast("long") * F.lit(1 << jj))
+        band_cols.append(key.alias(f"bk{b}"))
+    sig = v.select("id", *band_cols)
+    keys = sig.select("id", F.explode(F.array(*[
+        F.concat_ws(":", F.lit(b), F.col(f"bk{b}")) for b in range(bands)
+    ])).alias("bkey"))
+    a = keys.alias("a")
+    b_ = keys.alias("b")
+    cand = (a.join(b_, (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b")).distinct())
+    norm = v.withColumn(
+        "n", F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x)))
+    va = norm.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("n").alias("na"))
+    vb = norm.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    (dot / (F.col("na") * F.col("nb"))).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
     """(id_a, id_b, cos) — exact cosine near-dup pairs. JVM-side dot/norm
-    via zip_with + aggregate (no Python). Exact form = the oracle; the
-    LSH-bucketed scale path is operators/similarity.py."""
+    via zip_with + aggregate (no Python). The all-pairs exact form is the
+    small-scale oracle/verifier ONLY; the scale path is
+    :func:`embedding_lsh_pairs` (banded candidates, exact verify on
+    candidates)."""
     v = emb.select(F.col(id_col).alias("id"),
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("v"))

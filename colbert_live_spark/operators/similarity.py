@@ -53,15 +53,10 @@ def knn_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
             .select("query_id", "rank", "vec_id", "cos"))
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """(id, v, n, centroid_id): assign each vector to its nearest centroid.
-    Centroids = the n_centroids lowest-id vectors (deterministic; a k-means
-    refinement would drop in here without changing the query plan)."""
-    base = _with_norm(emb, id_col, vec_col)
-    cents = base.orderBy("id").limit(n_centroids).select(
-        F.col("id").alias("centroid_id"), F.col("v").alias("cv"),
-        F.col("n").alias("cn"))
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, v, n, centroid_id): nearest-centroid assignment (broadcast
+    cross join over C ≪ N centroids; deterministic cos-desc/centroid-asc
+    argmax)."""
     scored = (base.crossJoin(F.broadcast(cents))
               .select("id", "v", "n", "centroid_id",
                       (_dot(F.col("v"), F.col("cv"))
@@ -71,16 +66,58 @@ def ivf_assign(emb: DataFrame, n_centroids: int, id_col: str = "vec_id",
             .filter(F.col("r") == 1).drop("r", "cos"))
 
 
-def knn_ivf(emb: DataFrame, query_ids: list[int], k: int = 10,
-            n_centroids: int = 16, nprobe: int = 4,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(query_id, rank, vec_id, cos) IVF-approximate top-k: probe the
-    nprobe nearest centroid lists only."""
-    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+def kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int = 2,
+                     round_dp: int = 9, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(centroid_id, cv, cn): fixed-iteration Lloyd k-means with
+    deterministic seeding (the n_centroids lowest-id vectors) and
+    per-iteration centroid rounding to ``round_dp`` decimals.
+
+    The rounding is load-bearing for oracle checkability: element-wise means
+    are float sums whose order differs between engines; rounding the means
+    (errors ~1e-13 ≪ 0.5·10^-9) makes both engines' centroids bit-identical,
+    so assignments — and hence the final index — match exactly. Clusters
+    that lose all members simply drop out (both engines agree)."""
     base = _with_norm(emb, id_col, vec_col)
     cents = base.orderBy("id").limit(n_centroids).select(
         F.col("id").alias("centroid_id"), F.col("v").alias("cv"),
         F.col("n").alias("cn"))
+    for _ in range(iters):
+        assigned = _assign(base, cents)
+        means = (assigned.select("centroid_id", F.posexplode("v")
+                                 .alias("pos", "val"))
+                 .groupBy("centroid_id", "pos")
+                 .agg(F.round(F.avg("val"), round_dp).alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("cv")))
+        cents = means.withColumn(
+            "cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    return cents
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int, id_col: str = "vec_id",
+               vec_col: str = "embedding", kmeans_iters: int = 2) -> DataFrame:
+    """(id, v, n, centroid_id): assign each vector to its nearest k-means
+    centroid."""
+    base = _with_norm(emb, id_col, vec_col)
+    cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
+                             id_col=id_col, vec_col=vec_col)
+    return _assign(base, cents)
+
+
+def knn_ivf(emb: DataFrame, query_ids: list[int], k: int = 10,
+            n_centroids: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            kmeans_iters: int = 2) -> DataFrame:
+    """(query_id, rank, vec_id, cos) IVF-approximate top-k: probe the
+    nprobe nearest centroid lists only (cost O(Q·N·nprobe/C) instead of
+    O(Q·N)); centroids from deterministic fixed-iteration k-means."""
+    base = _with_norm(emb, id_col, vec_col)
+    cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
+                             id_col=id_col, vec_col=vec_col)
+    assigned = _assign(base, cents)
     q = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("n").alias("qn"))

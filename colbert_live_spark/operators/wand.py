@@ -2,16 +2,24 @@
 pruning — the scale path for the reference's search
 (`colbert_live/colbert_live.py:146-208`).
 
-Plan shape per batch of queries:
+Plan shape per batch of queries (doc-sharded topology):
 1. driver tokenizes queries (tiny; T1 analog `colbert_live/models.py:92-93`),
 2. dictionary lookup for matched terms — ``term_id IN (...)`` filter, pushed
    to parquet row-group pruning (the analog of the reference's per-token
    index probe, `colbert_live/db/astra.py:235-247`),
-3. matched posting blocks ⋈ broadcast(query terms) on term_id,
-4. ``groupBy(query_id).applyInPandas`` — all of a query's compressed lists
-   co-located; inside, a vectorized term-at-a-time MaxScore traversal with
-   block-max + skip-pointer skipping produces the exact top-k,
-5. output is already (query_id, rank, doc_id, score) — no further shuffle.
+3. the query-term table (query_id, term_id, qtf·idf) is broadcast to every
+   task as a plain broadcast variable — it never joins against blocks, so
+   NO per-query replication of compressed data ever happens,
+4. ``groupBy(salt).applyInPandas`` — the salt is a *global doc shard*
+   (hash(doc_id) mod D, index/builder.py), so one group holds the complete
+   mini-index of its doc subset across all matched terms. Each shard decodes
+   every matched list at most ONCE (term-level decode+weight cache), then
+   scores ALL queries of the batch with local-θ MaxScore pruning. Compressed
+   blocks move exactly once per batch, independent of batch size — the fix
+   for round 1's measured 0.589 batched-query scaling (BENCH/BASELINE.md).
+5. each (query, shard) emits ≤ k exact-scored candidates (a doc's whole
+   score is computed inside its shard, so the global top-k is a subset of
+   the per-shard top-k union); the global merge ranks D·k tiny rows.
 
 Safe-pruning invariant (tested): pruned output == unpruned output exactly.
 The pruning logic: process term lists in descending list-max-impact order,
@@ -304,6 +312,214 @@ def _matched_query_rows(spark, index_dir, queries):
     return rows
 
 
+# ------------------------------------------------------- shard-batch scoring
+
+PARTIAL_SCHEMA = "query_id string, doc_id long, score double"
+
+
+def _empty_partial() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": pd.array([], dtype="str"),
+                         "doc_id": pd.array([], dtype="int64"),
+                         "score": pd.array([], dtype="float64")})
+
+
+def _member_mask(ids: np.ndarray, members: np.ndarray) -> np.ndarray:
+    """Boolean mask: ids[i] in members (members sorted unique)."""
+    if members.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(members, ids), members.size - 1)
+    return members[pos] == ids
+
+
+class ShardLists:
+    """One doc shard's matched posting lists: lazy decode + idf-free weight
+    cache. A list is decoded at most once per (shard, batch) no matter how
+    many queries subscribe to its term — together with the shard grouping,
+    this is what makes batched throughput independent of batch size.
+    Optional ``filter_ids`` (permitted) / ``exclude_ids`` (tombstoned) apply
+    once at decode time (they are query-independent)."""
+
+    def __init__(self, pdf: pd.DataFrame, avgdl: float,
+                 filter_ids: np.ndarray | None = None,
+                 exclude_ids: np.ndarray | None = None):
+        self._avgdl = avgdl
+        self._filter = filter_ids
+        self._exclude = exclude_ids
+        self._groups: dict[int, pd.DataFrame] = {}
+        self._sigma: dict[int, float] = {}
+        self._sizes: dict[int, int] = {}
+        if len(pdf):
+            for tid, sub in pdf.groupby("term_id", sort=False):
+                tid = int(tid)
+                self._groups[tid] = sub
+                self._sigma[tid] = float(sub["max_weight"].max())
+                self._sizes[tid] = int(sub["n"].sum())
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def __contains__(self, tid: int) -> bool:
+        return tid in self._groups
+
+    def sigma_base(self, tid: int) -> float:
+        return self._sigma[tid]
+
+    def size(self, tid: int) -> int:
+        return self._sizes[tid]
+
+    def get(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids sorted, idf-free weights) for the shard-local list."""
+        hit = self._cache.get(tid)
+        if hit is None:
+            rows = self._groups[tid]
+            d, tf, dl = _decode_many(rows["first_doc"].to_numpy(),
+                                     rows["n"].to_numpy(),
+                                     rows["docs"].to_list(),
+                                     rows["tfs"].to_list(),
+                                     rows["dls"].to_list())
+            if d.size and not np.all(d[:-1] <= d[1:]):
+                order = np.argsort(d, kind="stable")
+                d, tf, dl = d[order], tf[order], dl[order]
+            if self._filter is not None:
+                keep = _member_mask(d, self._filter)
+                d, tf, dl = d[keep], tf[keep], dl[keep]
+            if self._exclude is not None and self._exclude.size:
+                keep = ~_member_mask(d, self._exclude)
+                d, tf, dl = d[keep], tf[keep], dl[keep]
+            hit = (d, bm25_weight_np(tf, dl, self._avgdl))
+            self._cache[tid] = hit
+        return hit
+
+
+def _score_one(lists: ShardLists, qterms: list[tuple[int, float]], k: int,
+               prune: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Exact shard-local top-k for one query (disjunctive MaxScore).
+    ``qterms``: [(term_id, qtf·idf)] — only terms present in this shard,
+    in the query's GLOBAL processing order (driver-fixed: impact desc,
+    term_id tiebreak). The order must be identical in every shard so that
+    two docs with equal contribution multisets sum in the same float order
+    and tie bit-identically regardless of which shard they live in; the
+    MaxScore admission proof holds for ANY fixed order (suffix bounds are
+    computed over the order actually processed), per-shard σ only loses a
+    little tightness vs a per-shard σ-desc order."""
+    infos = [(coef * lists.sigma_base(tid), tid, coef) for tid, coef in qterms]
+    sigma_v = np.array([s for s, _, _ in infos], dtype=np.float64)
+    suffix = np.concatenate([np.cumsum(sigma_v[::-1])[::-1], [0.0]])
+    acc_d = np.zeros(0, dtype=np.int64)
+    acc_s = np.zeros(0, dtype=np.float64)
+    admission = True
+    for ti, (_sig, tid, coef) in enumerate(infos):
+        theta = (np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+                 if acc_s.size >= k else 0.0)
+        if prune and admission and suffix[ti] < theta:
+            admission = False
+        if prune and not admission and acc_d.size == 0:
+            break
+        d, wb = lists.get(tid)
+        if d.size == 0:
+            continue
+        w = coef * wb
+        if prune and not admission:
+            pos = np.minimum(np.searchsorted(acc_d, d), acc_d.size - 1)
+            hit = acc_d[pos] == d
+            np.add.at(acc_s, pos[hit], w[hit])
+        else:
+            acc_d, acc_s = _merge_acc(acc_d, acc_s, d, w)
+        cap = max(4 * k, expand_budget(k))
+        if prune and acc_s.size > cap:
+            th = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+            keep = acc_s + suffix[ti + 1] >= th
+            if int(keep.sum()) >= k:
+                acc_d, acc_s = acc_d[keep], acc_s[keep]
+    if acc_d.size == 0:
+        return acc_d, acc_s
+    kk = min(k, acc_d.size)
+    order = np.lexsort((acc_d, -acc_s))[:kk]
+    return acc_d[order], acc_s[order]
+
+
+def _intersect_one(lists: ShardLists, qterms: list[tuple[int, float]],
+                   k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact shard-local conjunctive top-k (the caller guarantees every raw
+    query term is present in this shard). Candidate generation intersects
+    smallest list first (cheap); SCORING then sums in the query's global
+    processing order so float ties resolve identically across shards."""
+    ordered = sorted(qterms, key=lambda x: (lists.size(x[0]), x[0]))
+    cand_d: np.ndarray | None = None
+    for tid, _coef in ordered:
+        d, _w = lists.get(tid)
+        if cand_d is None:
+            cand_d = d
+            continue
+        if cand_d.size == 0 or d.size == 0:
+            cand_d = cand_d[:0]
+            break
+        pos = np.minimum(np.searchsorted(d, cand_d), d.size - 1)
+        cand_d = cand_d[d[pos] == cand_d]
+    if cand_d is None or cand_d.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    cand_s = np.zeros(cand_d.size, dtype=np.float64)
+    for tid, coef in qterms:  # global fixed order — candidates ⊆ every list
+        d, wb = lists.get(tid)
+        pos = np.searchsorted(d, cand_d)
+        cand_s += coef * wb[pos]
+    kk = min(k, cand_d.size)
+    order = np.lexsort((cand_d, -cand_s))[:kk]
+    return cand_d[order], cand_s[order]
+
+
+def score_shard_queries(
+    pdf: pd.DataFrame,
+    qmeta: dict[str, list[tuple[int, float]]],
+    nq_map: dict[str, int],
+    avgdl: float,
+    k: int,
+    prune: bool = True,
+    conjunctive: bool = False,
+    filter_ids: np.ndarray | None = None,
+    exclude_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Score EVERY query of the batch against one doc shard's matched
+    blocks; emit ≤ k exact candidates per query. Queries iterate in sorted
+    qid order (determinism is data-defined, not partitioning-defined)."""
+    if not len(pdf):
+        return _empty_partial()
+    lists = ShardLists(pdf, avgdl, filter_ids, exclude_ids)
+    out_q: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for qid in sorted(qmeta):
+        present = [(tid, coef) for tid, coef in qmeta[qid] if tid in lists]
+        if not present:
+            continue
+        if conjunctive:
+            if len(present) < nq_map[qid]:
+                continue  # a query term has no postings in this doc shard
+            d, s = _intersect_one(lists, present, k)
+        else:
+            d, s = _score_one(lists, present, k, prune)
+        if d.size:
+            out_q.append(np.full(d.size, qid, dtype=object))
+            out_d.append(d)
+            out_s.append(s)
+    if not out_d:
+        return _empty_partial()
+    return pd.DataFrame({"query_id": np.concatenate(out_q),
+                         "doc_id": np.concatenate(out_d),
+                         "score": np.concatenate(out_s)})
+
+
+def shard_expr(doc_id_col, doc_shards: int):
+    """The doc-shard assignment expression — MUST match the build-side salt
+    (index/builder.py merge_index)."""
+    return F.pmod(F.xxhash64(doc_id_col.cast("long")),
+                  F.lit(doc_shards)).cast("int")
+
+
+def merge_topk(partial: DataFrame, k: int) -> DataFrame:
+    """Global merge of per-shard candidates: D·k tiny rows per query."""
+    from colbert_live_spark.operators.bm25 import topk
+    return topk(partial, k)
+
+
 def wand_search(
     spark: SparkSession,
     index_dir: str,
@@ -315,47 +531,64 @@ def wand_search(
 ) -> DataFrame:
     """Batched top-k over a built index. Returns
     (query_id, rank, doc_id, score). ``conjunctive=True`` switches to
-    posting-list-intersection semantics (AND across query terms).
+    posting-list-intersection semantics (AND across query terms); it
+    composes with ``doc_filter`` (intersection ∩ filter).
 
     ``doc_filter``: optional single-column (doc_id) DataFrame of permitted
-    docs — the composable metadata predicate. Collected and broadcast when
-    small (the common case: predicates select by partition-pruned columns);
-    at true scale this becomes a pre-join against a filter bitmap table,
-    same semantics."""
+    docs — the composable metadata predicate. It is distributed end-to-end:
+    filter ids shuffle by the same doc-shard key as the index and cogroup
+    with the matched blocks, so nothing is ever collected to the driver
+    (reference analog: tag filter inside the ANN scan,
+    `example/cmdline/db.py:82-88`; corpus statistics stay GLOBAL, matching
+    the reference's semantics)."""
     with open(f"{index_dir}/_INDEX_META.json") as f:
         meta = json.load(f)
     avgdl = float(meta["avgdl"])
+    doc_shards = meta.get("doc_shards")
+    if doc_shards is None:
+        raise ValueError(
+            f"{index_dir} uses the pre-doc-shard layout (no 'doc_shards' in "
+            "_INDEX_META.json); rebuild the index with the current builder")
 
     qrows = _matched_query_rows(spark, index_dir, queries)
-    term_ids = sorted({r[1] for r in qrows})
-    if not term_ids:
+    if not qrows:
         return spark.createDataFrame([], OUT_SCHEMA)
-    qterms = spark.createDataFrame(
-        qrows, "query_id string, term_id long, qtf int, idf double")
+    term_ids = sorted({r[1] for r in qrows})
+    qmeta: dict[str, list[tuple[int, float]]] = {}
+    for qid, tid, qtf, idf in qrows:
+        qmeta.setdefault(qid, []).append((tid, qtf * idf))
+    # the query's GLOBAL term processing order (impact desc, term_id
+    # tiebreak) — identical in every shard so float summation order (and
+    # hence tie-breaking) is shard-independent
+    for terms in qmeta.values():
+        terms.sort(key=lambda x: (-x[1], x[0]))
+    nq_map = {qid: len(set(py_tokenize(qtext))) for qid, qtext in queries}
+    bc = spark.sparkContext.broadcast((qmeta, nq_map))
+
     postings = (spark.read.parquet(f"{index_dir}/postings")
                 .filter(F.col("term_id").isin(term_ids)))
-    blocks = postings.join(F.broadcast(qterms), "term_id")
 
-    n_qterms = {qid: len({t for t in py_tokenize(qtext)})
-                for qid, qtext in queries}
-    filter_ids = None
     if doc_filter is not None:
-        import numpy as np
-        filter_ids = np.sort(np.array(
-            [r[0] for r in doc_filter.collect()], dtype=np.int64))
-        bc = spark.sparkContext.broadcast(filter_ids)
-        filter_ids = None  # closure uses bc.value
+        fdf = doc_filter.select(
+            F.col(doc_filter.columns[0]).cast("long").alias("doc_id"))
+        fdf = fdf.withColumn("shard", shard_expr(F.col("doc_id"), doc_shards))
 
-        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_query_blocks(pdf, avgdl=avgdl, k=k, prune=prune,
-                                      filter_ids=bc.value)
-    elif conjunctive:
-        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            return intersect_query_blocks(
-                pdf, avgdl=avgdl, k=k,
-                n_query_terms=n_qterms[pdf["query_id"].iloc[0]])
+        def run2(blocks_pdf: pd.DataFrame,
+                 filt_pdf: pd.DataFrame) -> pd.DataFrame:
+            qm, nq = bc.value
+            fids = np.unique(filt_pdf["doc_id"].to_numpy(np.int64))
+            return score_shard_queries(blocks_pdf, qm, nq, avgdl, k, prune,
+                                       conjunctive, filter_ids=fids)
+
+        partial = (postings.groupBy("salt")
+                   .cogroup(fdf.groupBy("shard"))
+                   .applyInPandas(run2, schema=PARTIAL_SCHEMA))
     else:
         def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_query_blocks(pdf, avgdl=avgdl, k=k, prune=prune)
+            qm, nq = bc.value
+            return score_shard_queries(pdf, qm, nq, avgdl, k, prune,
+                                       conjunctive)
 
-    return blocks.groupBy("query_id").applyInPandas(run, schema=OUT_SCHEMA)
+        partial = postings.groupBy("salt").applyInPandas(
+            run, schema=PARTIAL_SCHEMA)
+    return merge_topk(partial, k)

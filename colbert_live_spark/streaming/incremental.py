@@ -3,8 +3,11 @@
 ``readStream`` over a file source → ``foreachBatch(add_segment)`` with
 ``Trigger.AvailableNow`` — each micro-batch becomes one searchable segment,
 the Spark-idiomatic form of the reference's insert-then-immediately-query
-liveness (README.md:21-23). The stream checkpoint gives exactly-once
-micro-batches; segment registration is atomic via the manifest swap.
+liveness (README.md:21-23). ``foreachBatch`` is at-least-once (a crash
+between the sink commit and the stream-checkpoint commit replays the batch),
+so end-to-end exactly-once comes from the idempotent-sink pattern: the
+manifest records the last ingested ``batch_id`` and ``add_segment`` no-ops
+on replays; segment registration is atomic via the manifest swap.
 
 No watermarks/stateful ops are needed (SURVEY.md §2.11: the reference has no
 stream-processing semantics — liveness is index maintenance, not windowing).
@@ -38,7 +41,9 @@ def ingest_stream(
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        add_segment(spark, batch_df, root, id_col=id_col, text_col=text_col)
+        # batch_id makes replayed micro-batches no-ops (idempotent sink)
+        add_segment(spark, batch_df, root, id_col=id_col, text_col=text_col,
+                    batch_id=batch_id)
 
     writer = (reader.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint))
