@@ -29,6 +29,7 @@ def main() -> None:
         "bm25_topk",
         "bm25_conjunctive",
         "bm25_lang_filtered",
+        "bm25_filtered_wand",
         "rrf_fusion",
         "topk_payload",
         "dedup_exact",
@@ -39,6 +40,8 @@ def main() -> None:
         "knn_ivf",
         "text_stats",
         "fingerprint",
+        "embedding_neardup_lsh",
+        "dedup_keep",
     ]
     qmap = eq.query_map()
     timings: dict[str, float] = {}
@@ -68,11 +71,40 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
 
+    # IVF quality: recall@10 vs brute force (approximation quality of the
+    # deterministic k-means IVF path, reported alongside its speed)
+    def topk_sets(name):
+        out = {}
+        for r in qmap[name](spark, sf_dir).collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+    brute, ivf = topk_sets("knn_bruteforce"), topk_sets("knn_ivf")
+    recalls = [len(brute[q] & ivf.get(q, set())) / len(brute[q])
+               for q in brute if brute[q]]
+    recall10 = round(sum(recalls) / len(recalls), 4) if recalls else None
+    print(f"# knn_ivf recall@10 vs brute force: {recall10}", file=sys.stderr)
+
+    # low-latency local serving mode p50 (zero Spark jobs; see wand.py)
+    from colbert_live_spark.operators.wand import wand_search_local
+    from colbert_live_spark.queryset import DOC_QUERIES
+    idx = eq.built_index(spark, sf_dir)
+    wand_search_local(idx, DOC_QUERIES[:1])  # warm dict cache
+    lats = []
+    for qid, qtext in DOC_QUERIES[:8]:
+        t0 = time.time()
+        wand_search_local(idx, [(qid, qtext)])
+        lats.append(time.time() - t0)
+    lats.sort()
+    local_p50 = round(lats[len(lats) // 2], 4)
+    print(f"# local-mode single-query p50: {local_p50}s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "knn_ivf_recall_at_10": recall10,
+        "local_query_p50_s": local_p50,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -65,20 +65,38 @@ def cmd_build(args) -> None:
                       "index": args.output}))
 
 
-def cmd_query(args) -> None:
-    from colbert_live_spark.operators.wand import wand_search
-    spark = _get_spark("cls-query")
+def _read_queries(args) -> list[tuple[str, str]]:
     if args.queries_tsv:
         queries = []
         with open(args.queries_tsv) as f:
             for line in f:
                 qid, qtext = line.rstrip("\n").split("\t", 1)
                 queries.append((qid, qtext))
-    else:
-        queries = [("q0", args.query)]
+        return queries
+    return [("q0", args.query)]
+
+
+def cmd_query(args) -> None:
+    from colbert_live_spark.operators.wand import wand_search, wand_search_local
+    queries = _read_queries(args)
+    if args.local:
+        # low-latency driver-local mode: zero Spark jobs
+        t0 = time.time()
+        pdf = wand_search_local(args.index, queries, k=args.k,
+                                prune=not args.no_prune,
+                                conjunctive=args.conjunctive)
+        wall = time.time() - t0
+        for r in pdf.itertuples():
+            print(f"{r.query_id}\t{r.doc_id}\t{r.rank}\t{r.score:.6f}",
+                  file=sys.stderr)
+        print(json.dumps({"n_queries": len(queries), "rows": len(pdf),
+                          "wall_s": round(wall, 3), "mode": "local",
+                          "qps": round(len(queries) / wall, 2)}))
+        return
+    spark = _get_spark("cls-query")
     t0 = time.time()
     res = wand_search(spark, args.index, queries, k=args.k,
-                      prune=not args.no_prune)
+                      prune=not args.no_prune, conjunctive=args.conjunctive)
     if args.out:
         from colbert_live_spark.sources.sinks import write_rankings_tsv
         write_rankings_tsv(res, args.out)
@@ -93,6 +111,44 @@ def cmd_query(args) -> None:
     print(json.dumps({"n_queries": len(queries), "rows": n,
                       "wall_s": round(wall, 3),
                       "qps": round(len(queries) / wall, 2)}))
+
+
+def cmd_add_segment(args) -> None:
+    from colbert_live_spark.index.segments import add_segment
+    spark = _get_spark("cls-add-segment")
+    docs = spark.read.parquet(args.input)
+    seg = add_segment(spark, docs, args.root, id_col=args.id_col,
+                      text_col=args.text_col, n_shards=args.n_shards)
+    print(json.dumps({"segment": seg, "root": args.root}))
+
+
+def cmd_delete(args) -> None:
+    from colbert_live_spark.index.segments import delete_docs
+    spark = _get_spark("cls-delete")
+    ids = [int(x) for x in args.ids.split(",") if x.strip()]
+    n = delete_docs(spark, args.root, ids)
+    print(json.dumps({"deleted": n, "root": args.root}))
+
+
+def cmd_compact(args) -> None:
+    from colbert_live_spark.index.segments import compact
+    spark = _get_spark("cls-compact")
+    seg = compact(spark, args.root, n_shards=args.n_shards)
+    print(json.dumps({"segment": seg, "root": args.root}))
+
+
+def cmd_search_live(args) -> None:
+    from colbert_live_spark.index.segments import segment_search
+    spark = _get_spark("cls-search-live")
+    queries = _read_queries(args)
+    t0 = time.time()
+    rows = segment_search(spark, args.root, queries, k=args.k).collect()
+    wall = time.time() - t0
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank))[:50]:
+        print(f"{r.query_id}\t{r.doc_id}\t{r.rank}\t{r.score:.6f}",
+              file=sys.stderr)
+    print(json.dumps({"n_queries": len(queries), "rows": len(rows),
+                      "wall_s": round(wall, 3)}))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -124,8 +180,37 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--queries-tsv", default=None)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-prune", action="store_true")
+    q.add_argument("--conjunctive", action="store_true")
+    q.add_argument("--local", action="store_true",
+                   help="driver-local low-latency mode (zero Spark jobs)")
     q.add_argument("--out", default=None)
     q.set_defaults(fn=cmd_query)
+
+    a = sub.add_parser("add-segment", help="ingest a batch into a live root")
+    a.add_argument("--root", required=True)
+    a.add_argument("--input", required=True)
+    a.add_argument("--id-col", default="doc_id")
+    a.add_argument("--text-col", default="text")
+    a.add_argument("--n-shards", type=int, default=4)
+    a.set_defaults(fn=cmd_add_segment)
+
+    d = sub.add_parser("delete", help="tombstone doc ids in a live root")
+    d.add_argument("--root", required=True)
+    d.add_argument("--ids", required=True,
+                   help="comma-separated global doc ids")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact", help="fold segments, drop tombstones")
+    c.add_argument("--root", required=True)
+    c.add_argument("--n-shards", type=int, default=4)
+    c.set_defaults(fn=cmd_compact)
+
+    sl = sub.add_parser("search-live", help="query a live segment root")
+    sl.add_argument("--root", required=True)
+    sl.add_argument("--query", default=None)
+    sl.add_argument("--queries-tsv", default=None)
+    sl.add_argument("--k", type=int, default=10)
+    sl.set_defaults(fn=cmd_search_live)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -352,12 +352,18 @@ def built_deleted_root(spark, sf_dir: str) -> str:
     import os
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"/tmp/cls_segdel_v2_{tag}"
-    if not os.path.exists(f"{root}/MANIFEST.json"):
+    ready = f"{root}/_READY"
+    if not os.path.exists(ready):
+        # sentinel-guarded: a process killed mid-setup must not leave a
+        # half-built root to be reused by later processes
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
         from colbert_live_spark.index.segments import add_segment, delete_docs
         docs = _docs(spark, sf_dir)
         add_segment(spark, docs, root, n_shards=4, salt_rows=200)
         delete_docs(spark, root,
                     docs.filter(F.expr(_DELETE_PRED_SQL)).select("doc_id"))
+        open(ready, "w").close()
     return root
 
 
@@ -401,9 +407,16 @@ def q_ndcg_at_k(spark, sf_dir):
                     F.round(F.col("dcg") / F.col("idcg"), ROUND).alias("ndcg")))
 
 
+RRF_NANN = 100  # per-token candidate cut before fusion (reference
+# n_ann_docs: only the top-n ANN hits per token enter the fuse,
+# `colbert_live/colbert_live.py:177-194`) — also what keeps this a bounded
+# partial top-n per term (WindowGroupLimit) instead of a full per-term sort
+
+
 def q_rrf_fusion(spark, sf_dir):
     """C4: literal reciprocal-rank fusion (rrf_k=60,
-    `colbert_live/colbert_live.py:189-194`) across per-term rankings."""
+    `colbert_live/colbert_live.py:189-194`) across per-term rankings,
+    fusing only the top-RRF_NANN docs per (query, term)."""
     from pyspark.sql import Window
     docs = _docs(spark, sf_dir)
     post = bm25.postings(docs)
@@ -421,6 +434,7 @@ def q_rrf_fusion(spark, sf_dir):
     w_rank = Window.partitionBy("query_id", "term").orderBy(
         F.desc("w"), F.asc("doc_id"))
     fused = (per_term.withColumn("trank", F.row_number().over(w_rank))
+             .filter(F.col("trank") <= RRF_NANN)
              .groupBy("query_id", "doc_id")
              .agg(F.sum(1.0 / (60.0 + F.col("trank"))).alias("score")))
     return _round_score(bm25.topk(fused, k=10))
@@ -495,7 +509,7 @@ tranked AS (
 ),
 fused AS (
   SELECT query_id, doc_id, sum(1.0 / (60.0 + trank)) AS score
-  FROM tranked GROUP BY query_id, doc_id
+  FROM tranked WHERE trank <= {RRF_NANN} GROUP BY query_id, doc_id
 ),
 ranked AS (
   SELECT query_id, doc_id, score,

@@ -32,8 +32,14 @@ The doc-shard salt serves two masters at once:
   batch size (the round-1 per-query replication fix; see operators/wand.py).
 
 Scale notes:
-- the ONLY large shuffle is the range partition of runs; salting bounds the
-  largest (term, salt) group to ~``salt_rows`` rows regardless of Zipf skew.
+- the ONLY large shuffle is the hash repartition of runs on (term_id, salt);
+  the doc-shard salt bounds the largest group to ~``salt_rows`` rows
+  regardless of Zipf skew.
+- doc-sharding cost: a tail term with df < doc_shards spreads over df
+  single-posting blocks (block metadata overhead ~50 B/row). Bounded: tail
+  terms are a minority of postings under Zipf, and D is chosen from df_max,
+  not vocabulary size. This is the price of batch-scalable serving and is
+  measured in BENCH (compressed index bytes).
 - the dictionary build shuffles one small row per distinct (term) — vocab,
   not corpus, sized.
 - dense doc ids are taken from the input when present (our corpora provide
@@ -44,13 +50,12 @@ from __future__ import annotations
 
 import json
 import math
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from colbert_live_spark.index import codec
+from colbert_live_spark.index import codec, fsio
 
 RUN_SCHEMA = "term string, doc_id long, tf int, dl int"
 BLOCK_SCHEMA = ("term_id long, salt int, block_id int, first_doc long, "
@@ -74,31 +79,15 @@ def _runs_from_tokens(toks: DataFrame) -> DataFrame:
                 .select("term", "doc_id", "tf", "dl"))
 
 
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
-
-
-def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers, driver-side (no Spark job)."""
-    import pyarrow.parquet as pq
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    return total
+# driver-side metadata IO goes through the pyarrow.fs abstraction so the
+# ledger/manifest work on object stores (index/fsio.py); Spark handles the
+# big data through its own Hadoop FS layer
+_dir_bytes = fsio.dir_bytes
+_parquet_rows = fsio.parquet_rows
 
 
 def _ledger_files(out_dir: str) -> list[str]:
-    ledger = f"{out_dir}/ledger"
-    if not os.path.isdir(ledger):
-        return []
-    return [os.path.join(ledger, f) for f in sorted(os.listdir(ledger))
-            if f.endswith(".parquet")]
+    return fsio.list_files(f"{out_dir}/ledger", ".parquet")
 
 
 def completed_groups(spark: SparkSession, out_dir: str) -> set[int]:
@@ -107,10 +96,10 @@ def completed_groups(spark: SparkSession, out_dir: str) -> set[int]:
 
 def completed_group_files(out_dir: str) -> dict[int, list[str]]:
     """gid -> input-file list recorded at commit time (lineage)."""
-    import pyarrow.parquet as pq
     done: dict[int, list[str]] = {}
     for f in _ledger_files(out_dir):
-        t = pq.read_table(f, columns=["gid", "stage", "files"]).to_pylist()
+        t = fsio.read_parquet_table(
+            f, columns=["gid", "stage", "files"]).to_pylist()
         for r in t:
             if r["stage"] == "runs":
                 done[r["gid"]] = json.loads(r["files"])
@@ -120,12 +109,11 @@ def completed_group_files(out_dir: str) -> dict[int, list[str]]:
 def _append_ledger(spark: SparkSession, out_dir: str, row: tuple) -> None:
     """Driver-side pyarrow append — the commit record must not cost a Spark
     job (it was 1-6s of fixed overhead per group as a Spark write). One file
-    per commit keeps appends atomic (write temp + rename)."""
+    per commit keeps appends atomic (write temp + move via fsio — works on
+    object stores too)."""
     import uuid
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    os.makedirs(f"{out_dir}/ledger", exist_ok=True)
     names = [f.split(" ")[0] for f in LEDGER_SCHEMA.split(", ")]
     table = pa.table({n: [v] for n, v in zip(names, row)},
                      schema=pa.schema([
@@ -133,9 +121,8 @@ def _append_ledger(spark: SparkSession, out_dir: str, row: tuple) -> None:
                          ("n_docs", pa.int64()), ("n_postings", pa.int64()),
                          ("bytes", pa.int64()), ("wall_ms", pa.int64()),
                          ("files", pa.string())]))
-    tmp = f"{out_dir}/ledger/.tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, f"{out_dir}/ledger/commit-{uuid.uuid4().hex}.parquet")
+    fsio.write_parquet_atomic(
+        f"{out_dir}/ledger/commit-{uuid.uuid4().hex}.parquet", table)
 
 
 def _is_bare_scan(docs: DataFrame) -> bool:
@@ -278,13 +265,11 @@ def merge_index(
     n_docs, avgdl, sum_dl = st.n_docs, float(st.avgdl), int(st.sum_dl or 0)
     # stats table written driver-side (single row — not worth a Spark job)
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    os.makedirs(f"{out_dir}/stats", exist_ok=True)
-    pq.write_table(
+    fsio.write_parquet_atomic(
+        f"{out_dir}/stats/stats.parquet",
         pa.table({"n_docs": [int(n_docs)], "avgdl": [avgdl]},
                  schema=pa.schema([("n_docs", pa.int64()),
-                                   ("avgdl", pa.float64())])),
-        f"{out_dir}/stats/stats.parquet")
+                                   ("avgdl", pa.float64())])))
 
     df_t = runs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     raw_dict = _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
@@ -366,11 +351,12 @@ def merge_index(
     _append_ledger(spark, out_dir, (
         -1, "merge", n_docs, n_blocks, _dir_bytes(f"{out_dir}/postings"),
         int((time.time() - t0) * 1000), "[]"))
-    with open(f"{out_dir}/_INDEX_META.json", "w") as f:
-        json.dump({"n_shards": n_shards, "salt_rows": salt_rows,
-                   "block_size": block_size, "n_docs": int(n_docs),
-                   "avgdl": avgdl, "sum_dl": sum_dl,
-                   "doc_shards": int(doc_shards)}, f)
+    fsio.write_text_atomic(
+        f"{out_dir}/_INDEX_META.json",
+        json.dumps({"n_shards": n_shards, "salt_rows": salt_rows,
+                    "block_size": block_size, "n_docs": int(n_docs),
+                    "avgdl": avgdl, "sum_dl": sum_dl,
+                    "doc_shards": int(doc_shards)}))
     # release the dense-id persist (it leaked one cached DataFrame per
     # merge_index call — one per segment / streaming micro-batch)
     cached = getattr(raw_dict, "_cls_persisted", None)

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from colbert_live_spark.functions.tokenize import py_tokenize
+from colbert_live_spark.index import fsio
 from colbert_live_spark.index.builder import build_index, merge_index
 from colbert_live_spark.operators.wand import (
     OUT_SCHEMA, PARTIAL_SCHEMA, merge_topk, score_shard_queries, shard_expr)
@@ -60,14 +61,13 @@ DEFAULT_DOC_SHARDS = 16
 
 
 def _read_manifest(root: str) -> dict:
-    p = os.path.join(root, MANIFEST)
-    if not os.path.exists(p):
+    p = f"{root}/{MANIFEST}"
+    if not fsio.exists(p):
         return {"segments": [], "next_doc_base": 0, "seq": 0,
                 "doc_shards": None, "last_batch_id": -1,
                 "tombstones": {"files": [], "delta_files": [],
                                "n_deleted": 0, "deleted_dl": 0}}
-    with open(p) as f:
-        m = json.load(f)
+    m = json.loads(fsio.read_text(p))
     m.setdefault("doc_shards", None)
     m.setdefault("last_batch_id", -1)
     m.setdefault("tombstones", {"files": [], "delta_files": [],
@@ -76,11 +76,7 @@ def _read_manifest(root: str) -> dict:
 
 
 def _write_manifest(root: str, m: dict) -> None:
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(m, f)
-    os.replace(tmp, os.path.join(root, MANIFEST))
+    fsio.write_text_atomic(f"{root}/{MANIFEST}", json.dumps(m))
 
 
 def add_segment(
@@ -110,13 +106,12 @@ def add_segment(
         m["doc_shards"] = doc_shards or DEFAULT_DOC_SHARDS
     base = m["next_doc_base"]
     seg = f"seg{m['seq']:05d}"
-    seg_dir = os.path.join(root, "segments", seg)
+    seg_dir = f"{root}/segments/{seg}"
     shifted = docs.withColumn(id_col, F.col(id_col).cast("long") + F.lit(base))
     build_index(spark, shifted, seg_dir, id_col=id_col, text_col=text_col,
                 n_groups=1, n_shards=n_shards, salt_rows=salt_rows,
                 doc_shards=m["doc_shards"])
-    with open(os.path.join(seg_dir, "_INDEX_META.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(fsio.read_text(f"{seg_dir}/_INDEX_META.json"))
     max_id = spark.read.parquet(f"{seg_dir}/docs").agg(
         F.max("doc_id")).collect()[0][0]
     m["segments"].append({"name": seg, "n_docs": meta["n_docs"],
@@ -159,7 +154,7 @@ def _tombstone_ids(spark: SparkSession, root: str, m: dict) -> DataFrame | None:
     files = m["tombstones"]["files"]
     if not files:
         return None
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    return spark.read.parquet(*[f"{root}/{f}" for f in files])
 
 
 def delete_docs(spark: SparkSession, root: str,
@@ -183,10 +178,17 @@ def delete_docs(spark: SparkSession, root: str,
         ids = ids.join(prior, "doc_id", "left_anti")
 
     runs = _all_runs(spark, root, m)
-    # one job: per-term df deltas + per-doc dl for the effective delete set
+    # per-term df deltas come from runs; the doc count + dl sum come from
+    # doclens (a zero-token doc has NO runs rows but still counts toward N)
     hit = runs.join(F.broadcast(ids), "doc_id")
     agg = hit.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ddf"))
-    docdl = hit.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    dl_parts = [spark.read.option("recursiveFileLookup", "true")
+                .parquet(f"{root}/segments/{s['name']}/doclens")
+                for s in m["segments"]]
+    dls = dl_parts[0]
+    for p in dl_parts[1:]:
+        dls = dls.unionByName(p)
+    docdl = dls.join(F.broadcast(ids), "doc_id").select("doc_id", "dl")
     stats = docdl.agg(F.count(F.lit(1)).alias("n"),
                       F.sum("dl").cast("long").alias("sdl")).collect()[0]
     n_del, sdl = int(stats.n or 0), int(stats.sdl or 0)
@@ -197,9 +199,9 @@ def delete_docs(spark: SparkSession, root: str,
     tomb_rel = f"tombstones/tomb-{tag}"
     delta_rel = f"tombstones/delta-{tag}"
     docdl.select("doc_id").repartition(1).write.mode("overwrite").parquet(
-        os.path.join(root, tomb_rel))
+        f"{root}/{tomb_rel}")
     agg.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(root, delta_rel))
+        f"{root}/{delta_rel}")
     t = m["tombstones"]
     t["files"].append(tomb_rel)
     t["delta_files"].append(delta_rel)
@@ -226,7 +228,7 @@ def _df_deltas(spark: SparkSession, root: str, m: dict,
     files = m["tombstones"]["delta_files"]
     if not files or not terms:
         return {}
-    d = (spark.read.parquet(*[os.path.join(root, f) for f in files])
+    d = (spark.read.parquet(*[f"{root}/{f}" for f in files])
          .filter(F.col("term").isin(terms))
          .groupBy("term").agg(F.sum("ddf").alias("ddf")).collect())
     return {r.term: int(r.ddf) for r in d}
@@ -359,10 +361,12 @@ def compact(spark: SparkSession, root: str, n_shards: int = 4,
     m = _read_manifest(root)
     assert m["segments"], "nothing to compact"
     seg = f"seg{m['seq']:05d}"
-    seg_dir = os.path.join(root, "segments", seg)
-    os.makedirs(seg_dir, exist_ok=True)
+    seg_dir = f"{root}/segments/{seg}"
     tombs = _tombstone_ids(spark, root, m)
-    if tombs is None:
+    local = "://" not in root
+    if tombs is None and local:
+        # local fast path: reuse run files byte-for-byte; on object stores
+        # (or with tombstones to drop) the Spark rewrite below is the path
         for sub in ("runs", "doclens"):
             for s in m["segments"]:
                 src = f"{root}/segments/{s['name']}/{sub}"
@@ -372,9 +376,13 @@ def compact(spark: SparkSession, root: str, n_shards: int = 4,
                            f"{s['name']}-{gid_dir.replace('gid=', 'g')}")
                     shutil.copytree(f"{src}/{gid_dir}", dst)
     else:
-        # physical drop: rewrite runs/doclens minus tombstones (one job each)
-        t = F.broadcast(tombs)
-        (_all_runs(spark, root, m).join(t, "doc_id", "left_anti")
+        # physical drop / object-store path: rewrite runs/doclens minus
+        # tombstones (one job each)
+        runs_all = _all_runs(spark, root, m)
+        dropset = tombs if tombs is not None else \
+            spark.createDataFrame([], "doc_id long")
+        t = F.broadcast(dropset)
+        (runs_all.join(t, "doc_id", "left_anti")
          .write.mode("overwrite").parquet(f"{seg_dir}/runs/g0"))
         dl_parts = [spark.read.option("recursiveFileLookup", "true")
                     .parquet(f"{root}/segments/{s['name']}/doclens")
@@ -386,8 +394,7 @@ def compact(spark: SparkSession, root: str, n_shards: int = 4,
          .write.mode("overwrite").parquet(f"{seg_dir}/doclens/g0"))
     merge_index(spark, seg_dir, n_shards=n_shards, salt_rows=salt_rows,
                 doc_shards=m["doc_shards"] or DEFAULT_DOC_SHARDS)
-    with open(os.path.join(seg_dir, "_INDEX_META.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(fsio.read_text(f"{seg_dir}/_INDEX_META.json"))
     m["segments"] = [{"name": seg, "n_docs": meta["n_docs"],
                       "avgdl": meta["avgdl"], "sum_dl": meta.get("sum_dl"),
                       "doc_base": 0, "ts": int(time.time())}]

@@ -187,6 +187,38 @@ def test_query_time_doc_filter_matches_oracle(spark, index_dir, documents,
         assert all(d in en_ids for d, _ in g)
 
 
+def test_local_mode_matches_cluster(spark, index_dir):
+    """Low-latency driver-local serving returns exactly what the cluster
+    path returns (same ranks, same float scores) — disjunctive and
+    conjunctive, including the all-terms-missing empty path."""
+    from colbert_live_spark.operators.wand import wand_search_local
+    for conj in (False, True):
+        cluster = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=K,
+                                       conjunctive=conj))
+        local = wand_search_local(index_dir, DOC_QUERIES, k=K,
+                                  conjunctive=conj)
+        got = {}
+        for r in local.itertuples():
+            got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+        assert got.keys() == cluster.keys()
+        for qid in cluster:
+            assert [d for d, _ in got[qid]] == [d for d, _ in cluster[qid]]
+            for (_, s1), (_, s2) in zip(got[qid], cluster[qid]):
+                assert math.isclose(s1, s2, abs_tol=ATOL)
+    assert len(wand_search_local(index_dir, [("qx", "zzzmissing")], k=K)) == 0
+
+
+def test_doc_filter_is_distributed(spark, index_dir, documents):
+    """The filtered path must cogroup filter ids with blocks (a
+    FlatMapCoGroupsInPandas node), never collect them to the driver."""
+    from pyspark.sql import functions as F
+    en = documents.filter(F.col("lang") == "en").select("doc_id")
+    df = wand_search(spark, index_dir, DOC_QUERIES, k=K, doc_filter=en)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
+
+
 def test_dictionary_ids_unique(spark, index_dir):
     """Regression: dense term ids must be globally unique (a coalesce fused
     under the id-assignment stage once silently duplicated ids)."""

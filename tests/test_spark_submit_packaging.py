@@ -59,3 +59,8 @@ def test_spark_submit_end_to_end(tmp_path):
                            "--query", "word000 word001", "--k", "5")
                    .strip().splitlines()[-1])
     assert q["rows"] > 0 and q["n_queries"] == 1
+
+    ql = json.loads(_submit(zpath, "query", "--index", idx, "--local",
+                            "--query", "word000 word001", "--k", "5")
+                    .strip().splitlines()[-1])
+    assert ql["mode"] == "local" and ql["rows"] == q["rows"]
