@@ -247,13 +247,18 @@ def score_query_blocks(
             d, tf, dl = d[ok], tf[ok], dl[ok]
             if d.size == 0:
                 continue
-        w = qtf * idf * bm25_weight_np(tf, dl, avgdl)
         if prune and not admission:
-            pos = np.searchsorted(acc_d, d)
-            pos_c = np.minimum(pos, acc_d.size - 1)
-            hit = acc_d[pos_c] == d
-            np.add.at(acc_s, pos_c[hit], w[hit])
+            # search the small accumulator into the big decoded list and
+            # weight only the hits (same values/order as the full-list
+            # form — elementwise BM25 on the hit subset)
+            pos = np.minimum(np.searchsorted(d, acc_d), d.size - 1)
+            hit = d[pos] == acc_d
+            if hit.any():
+                ph = pos[hit]
+                acc_s[hit] += qtf * idf * bm25_weight_np(tf[ph], dl[ph],
+                                                         avgdl)
         else:
+            w = qtf * idf * bm25_weight_np(tf, dl, avgdl)
             acc_d, acc_s = _merge_acc(acc_d, acc_s, d, w)
         # safe accumulator cap (C2 _expand analog): a doc whose score plus
         # every remaining list's max impact is below θ can never reach the
@@ -416,13 +421,18 @@ def _score_one(lists: ShardLists, qterms: list[tuple[int, float]], k: int,
         d, wb = lists.get(tid)
         if d.size == 0:
             continue
-        w = coef * wb
         if prune and not admission:
-            pos = np.minimum(np.searchsorted(acc_d, d), acc_d.size - 1)
-            hit = acc_d[pos] == d
-            np.add.at(acc_s, pos[hit], w[hit])
+            # admission closed: only accumulated docs can gain — search the
+            # SMALL accumulator into the big list (O(|acc|·log|list|), not
+            # O(|list|·log|acc|)) and weight only the hits. Each doc occurs
+            # at most once per list, so the per-doc addition order is
+            # unchanged (bit-identical to the unpruned sum — tested).
+            pos = np.minimum(np.searchsorted(d, acc_d), d.size - 1)
+            hit = d[pos] == acc_d
+            if hit.any():
+                acc_s[hit] += coef * wb[pos[hit]]
         else:
-            acc_d, acc_s = _merge_acc(acc_d, acc_s, d, w)
+            acc_d, acc_s = _merge_acc(acc_d, acc_s, d, coef * wb)
         cap = max(4 * k, expand_budget(k))
         if prune and acc_s.size > cap:
             th = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
