@@ -367,6 +367,50 @@ def built_deleted_root(spark, sf_dir: str) -> str:
     return root
 
 
+def built_live_root(spark, sf_dir: str) -> str:
+    """Two-segment live root over the documents corpus (ingested in two
+    increments with contiguous id ranges, so global ids equal the
+    monolithic corpus ids) — built once per sf_dir per process."""
+    import hashlib
+    import os
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/cls_seglive_v2_{tag}"
+    ready = f"{root}/_READY"
+    if not os.path.exists(ready):
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        from colbert_live_spark.index.segments import add_segment
+        docs = _docs(spark, sf_dir)
+        half = docs.count() // 2
+        add_segment(spark, docs.filter(F.col("doc_id") < half), root,
+                    n_shards=4, salt_rows=200)
+        add_segment(spark,
+                    docs.filter(F.col("doc_id") >= half)
+                    .withColumn("doc_id", F.col("doc_id") - half),
+                    root, n_shards=4, salt_rows=200)
+        open(ready, "w").close()
+    return root
+
+
+def q_bm25_incremental(spark, sf_dir):
+    """§2.11 liveness, driver-oracle-checked: the corpus ingested as TWO
+    independent segments answers exactly like a monolithic index (global
+    N/avgdl/df→idf computed across segments at query time) — the oracle is
+    the SAME SQL as bm25_topk."""
+    from colbert_live_spark.index.segments import segment_search
+    root = built_live_root(spark, sf_dir)
+    return _round_score(segment_search(spark, root, DOC_QUERIES, k=10))
+
+
+def q_bm25_incremental_conjunctive(spark, sf_dir):
+    """Conjunctive (posting-list intersection) semantics over the live
+    segmented root — oracle identical to bm25_conjunctive."""
+    from colbert_live_spark.index.segments import segment_search
+    root = built_live_root(spark, sf_dir)
+    return _round_score(segment_search(spark, root, DOC_QUERIES, k=10,
+                                       conjunctive=True))
+
+
 def q_bm25_after_delete(spark, sf_dir):
     """Live deletes ("remove documents", reference README.md:21-23):
     tombstoned docs vanish from results AND from the statistics — top-k
@@ -586,6 +630,10 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM 
         "bm25_after_delete": _bm25_topk_sql(k=10).replace(
             "FROM documents",
             f"FROM (SELECT * FROM documents WHERE NOT ({_DELETE_PRED_SQL}))"),
+        # liveness: segmented results must equal the MONOLITHIC oracle
+        "bm25_incremental": _bm25_topk_sql(k=10),
+        "bm25_incremental_conjunctive": _bm25_topk_sql(k=10,
+                                                       conjunctive=True),
         "ndcg_at_k": _ndcg_sql(),
         "topk_payload": payload_sql,
         "rrf_fusion": rrf_sql,
@@ -638,6 +686,8 @@ def _core_query_map():
         "bm25_filtered_wand": q_bm25_filtered_wand,
         "bm25_tag_filtered": q_bm25_tag_filtered,
         "bm25_after_delete": q_bm25_after_delete,
+        "bm25_incremental": q_bm25_incremental,
+        "bm25_incremental_conjunctive": q_bm25_incremental_conjunctive,
         "ndcg_at_k": q_ndcg_at_k,
         "topk_payload": q_topk_payload,
         "rrf_fusion": q_rrf_fusion,

@@ -240,6 +240,7 @@ def segment_search(
     queries: list[tuple[str, str]],
     k: int = 10,
     prune: bool = True,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Batched top-k across all active segments, scores identical to a
     monolithic index rebuilt over exactly the live (non-deleted) docs.
@@ -287,10 +288,12 @@ def segment_search(
            for t, df in global_df.items()}
 
     qmeta: dict[str, list[tuple[int, float]]] = {}
+    nq_map: dict[str, int] = {}
     for qid, qtext in queries:
         counts: dict[str, int] = {}
         for t in py_tokenize(qtext):
             counts[t] = counts.get(t, 0) + 1
+        nq_map[qid] = len(counts)
         terms = [(gterm_id[t], qtf * idf[t])
                  for t, qtf in sorted(counts.items()) if t in global_df]
         # global processing order — shard-independent float summation
@@ -299,7 +302,7 @@ def segment_search(
             qmeta[qid] = terms
     if not qmeta:
         return spark.createDataFrame([], OUT_SCHEMA)
-    bc = spark.sparkContext.broadcast(qmeta)
+    bc = spark.sparkContext.broadcast((qmeta, nq_map))
 
     parts = []
     for s in m["segments"]:
@@ -335,15 +338,18 @@ def segment_search(
 
         def run2(blocks_pdf: pd.DataFrame,
                  tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+            qm, nq = bc.value
             ex = np.unique(tomb_pdf["doc_id"].to_numpy(np.int64))
-            return score_shard_queries(blocks_pdf, bc.value, {}, avgdl, k,
-                                       prune, exclude_ids=ex)
+            return score_shard_queries(blocks_pdf, qm, nq, avgdl, k,
+                                       prune, conjunctive, exclude_ids=ex)
 
         partial = (blocks.groupBy("salt").cogroup(tdf.groupBy("shard"))
                    .applyInPandas(run2, schema=PARTIAL_SCHEMA))
     else:
         def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_shard_queries(pdf, bc.value, {}, avgdl, k, prune)
+            qm, nq = bc.value
+            return score_shard_queries(pdf, qm, nq, avgdl, k, prune,
+                                       conjunctive)
 
         partial = blocks.groupBy("salt").applyInPandas(
             run, schema=PARTIAL_SCHEMA)

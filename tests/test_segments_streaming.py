@@ -60,6 +60,21 @@ def test_incremental_matches_oracle(spark, seg_root, oracle_index):
     _assert_matches_oracle(got, oracle_index)
 
 
+def test_incremental_conjunctive_matches_relational(spark, seg_root,
+                                                    documents):
+    """Intersection semantics across segments == relational conjunctive."""
+    from colbert_live_spark.operators import bm25
+    got = _collect(segment_search(spark, seg_root, DOC_QUERIES, k=K,
+                                  conjunctive=True))
+    expect = _collect(bm25.search(spark, documents, DOC_QUERIES, k=K,
+                                  conjunctive=True))
+    assert got.keys() == expect.keys()
+    for qid in expect:
+        assert [d for d, _ in got[qid]] == [d for d, _ in expect[qid]]
+        for (_, s1), (_, s2) in zip(got[qid], expect[qid]):
+            assert math.isclose(s1, s2, abs_tol=ATOL)
+
+
 def test_compaction_preserves_results(spark, seg_root, oracle_index):
     before = _collect(segment_search(spark, seg_root, DOC_QUERIES, k=K))
     seg = compact(spark, seg_root, salt_rows=100)
