@@ -35,17 +35,23 @@ def _h60(col, salt=None):
 def exact_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(keep_doc_id, dup_doc_id) — exact duplicates by text hash; the
-    lowest doc id in each group is canonical."""
+    lowest doc id in each group is canonical.
+
+    Shape: min-per-hash aggregate (map-side combined, one scalar per group)
+    then an equi-join back on the 16-byte hash — NO collect_list: at web
+    scale one boilerplate page can have 10^8 copies, and materializing that
+    group as a single array row is a straggler/OOM, while the join form
+    streams it."""
     hashed = docs.select(F.col(id_col).alias("doc_id"),
                          F.md5(F.col(text_col)).alias("h"))
-    groups = (hashed.groupBy("h")
-              .agg(F.min("doc_id").alias("keep_doc_id"),
-                   F.collect_list("doc_id").alias("members"))
-              .filter(F.size("members") > 1))
-    return (groups.select("keep_doc_id",
-                          F.explode("members").alias("dup_doc_id"))
-            .filter(F.col("dup_doc_id") != F.col("keep_doc_id"))
-            .select("keep_doc_id", "dup_doc_id"))
+    keepers = (hashed.groupBy("h")
+               .agg(F.min("doc_id").alias("keep_doc_id"),
+                    F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > 1)
+               .select("h", "keep_doc_id"))
+    return (hashed.join(keepers, "h")
+            .filter(F.col("doc_id") != F.col("keep_doc_id"))
+            .select("keep_doc_id", F.col("doc_id").alias("dup_doc_id")))
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
