@@ -87,7 +87,8 @@ def worker(cores: int, corpus: str, out_json: str,
     docs = spark.read.parquet(corpus)
     n_docs = docs.count()  # warm: JVM, parquet footers
 
-    idx = f"/tmp/cls_bench_idx_{cores}"
+    # keyed by corpus so --skip-build can never reuse a wrong-corpus index
+    idx = f"/tmp/cls_bench_idx_{cores}_{os.path.basename(corpus)}"
     build_wall = None
     if skip_build and os.path.exists(f"{idx}/_INDEX_META.json"):
         # query-repeat mode: reuse the index this level built earlier in the

@@ -86,9 +86,13 @@ def cmd_query(args) -> None:
                                 prune=not args.no_prune,
                                 conjunctive=args.conjunctive)
         wall = time.time() - t0
-        for r in pdf.itertuples():
-            print(f"{r.query_id}\t{r.doc_id}\t{r.rank}\t{r.score:.6f}",
-                  file=sys.stderr)
+        if args.out:
+            pdf[["query_id", "doc_id", "rank", "score"]].to_csv(
+                args.out, sep="\t", header=False, index=False)
+        else:
+            for r in pdf.itertuples():
+                print(f"{r.query_id}\t{r.doc_id}\t{r.rank}\t{r.score:.6f}",
+                      file=sys.stderr)
         print(json.dumps({"n_queries": len(queries), "rows": len(pdf),
                           "wall_s": round(wall, 3), "mode": "local",
                           "qps": round(len(queries) / wall, 2)}))

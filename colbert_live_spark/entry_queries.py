@@ -74,7 +74,9 @@ def _bm25_topk_sql(k: int = 10, conjunctive: bool = False,
     stay global — the reference's filter semantics); ``doc_pred`` is an
     arbitrary SQL condition over the documents alias ``d``."""
     if lang is not None:
-        doc_pred = f"d.lang = '{lang}'"
+        lang_pred = f"d.lang = '{lang}'"
+        doc_pred = (f"({doc_pred}) AND {lang_pred}" if doc_pred is not None
+                    else lang_pred)
     lang_join = ""
     lang_where = ""
     if doc_pred is not None:

@@ -237,6 +237,7 @@ def merge_index(
     block_size: int = codec.BLOCK_SIZE,
     doc_meta: DataFrame | None = None,
     doc_shards: int | None = None,
+    doc_shards_headroom: int = 1,
 ) -> None:
     """Stage 2: runs → dictionary + compressed term-sharded postings + stats.
 
@@ -244,9 +245,13 @@ def merge_index(
     for EVERY term, so shard s is a complete mini-index of its doc subset —
     the batched-serving topology groups blocks by shard and scores all
     queries per shard (operators/wand.py). Defaults to
-    max(n_shards, ceil(max df / salt_rows)) so the largest (term, salt)
-    merge group stays ≤ ``salt_rows`` rows (the head-term skew bound,
-    north rule) while providing ≥ n_shards of serving parallelism.
+    max(n_shards, ceil(max df / salt_rows) · doc_shards_headroom) so the
+    largest (term, salt) merge group stays ≤ ``salt_rows`` rows (the
+    head-term skew bound, north rule) while providing ≥ n_shards of serving
+    parallelism. ``doc_shards_headroom`` > 1 is for callers that must FIX D
+    before the corpus is fully known (segment roots size D from their first
+    ingest batch; headroom keeps the salt_rows bound holding as the root
+    grows ~headroom× beyond that batch).
     """
     t0 = time.time()
     runs = (spark.read.option("recursiveFileLookup", "true")
@@ -289,7 +294,8 @@ def merge_index(
     if doc_shards is None:
         # vocab-sized agg over the persisted dictionary input — cheap
         df_max = int(dict_df.agg(F.max("df")).collect()[0][0] or 1)
-        doc_shards = max(n_shards, math.ceil(df_max / salt_rows))
+        doc_shards = max(n_shards,
+                         math.ceil(df_max / salt_rows) * doc_shards_headroom)
 
     # The merge-shuffle: postings + term ids, salted by global doc shard so
     # each (term_id, salt) group is contiguous and sorted by doc_id.
@@ -375,6 +381,7 @@ def build_index(
     salt_rows: int = 1_000_000,
     doc_meta: DataFrame | None = None,
     doc_shards: int | None = None,
+    doc_shards_headroom: int = 1,
     max_concurrency: int = 1,
 ) -> None:
     """Full build: checkpointed runs then merge. Safe to re-invoke after a
@@ -382,4 +389,5 @@ def build_index(
     build_runs(spark, docs, out_dir, id_col, text_col, n_groups,
                max_concurrency=max_concurrency)
     merge_index(spark, out_dir, n_shards=n_shards, salt_rows=salt_rows,
-                doc_meta=doc_meta, doc_shards=doc_shards)
+                doc_meta=doc_meta, doc_shards=doc_shards,
+                doc_shards_headroom=doc_shards_headroom)

@@ -27,6 +27,16 @@ def resolve(path: str) -> tuple[pafs.FileSystem, str]:
     return pafs.LocalFileSystem(), path
 
 
+def _scheme_prefix(path: str) -> str:
+    """Scheme to re-attach to filesystem-native paths returned from
+    listings, so callers can feed them back into any fsio entry point
+    (from_uri strips the scheme: 's3://bucket/k' resolves to 'bucket/k' —
+    returning that raw would silently re-resolve as a LOCAL path)."""
+    if "://" in path:
+        return path.split("://", 1)[0] + "://"
+    return ""
+
+
 def exists(path: str) -> bool:
     f, p = resolve(path)
     return f.get_file_info(p).type != pafs.FileType.NotFound
@@ -73,10 +83,19 @@ def _infos(path: str, recursive: bool = True):
 
 
 def list_files(path: str, suffix: str = "") -> list[str]:
-    """Recursive file listing (paths in the resolved filesystem's notation),
-    sorted, optionally filtered by suffix."""
+    """Recursive file listing, sorted, optionally filtered by suffix.
+    Returned paths carry the input's scheme so they round-trip through any
+    fsio entry point."""
+    pre = _scheme_prefix(path)
     _f, infos = _infos(path)
-    return sorted(i.path for i in infos if i.path.endswith(suffix))
+    return sorted(pre + i.path for i in infos if i.path.endswith(suffix))
+
+
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory if it exists (tombstone GC etc.)."""
+    f, p = resolve(path)
+    if f.get_file_info(p).type != pafs.FileType.NotFound:
+        f.delete_dir(p)
 
 
 def dir_bytes(path: str) -> int:
@@ -102,7 +121,8 @@ def read_parquet_table(path: str, columns=None):
     info = f.get_file_info(p)
     if info.type == pafs.FileType.Directory:
         import pyarrow as pa
-        parts = [pq.read_table(fp, columns=columns, filesystem=f)
-                 for fp in list_files(path, ".parquet")]
+        _f, infos = _infos(path)
+        parts = [pq.read_table(i.path, columns=columns, filesystem=f)
+                 for i in infos if i.path.endswith(".parquet")]
         return pa.concat_tables(parts)
     return pq.read_table(p, columns=columns, filesystem=f)

@@ -54,7 +54,8 @@ from colbert_live_spark.functions.tokenize import py_tokenize
 from colbert_live_spark.index import fsio
 from colbert_live_spark.index.builder import build_index, merge_index
 from colbert_live_spark.operators.wand import (
-    OUT_SCHEMA, PARTIAL_SCHEMA, merge_topk, score_shard_queries, shard_expr)
+    OUT_SCHEMA, PARTIAL_SCHEMA, build_qmeta, merge_topk,
+    score_shard_queries, shard_expr)
 
 MANIFEST = "MANIFEST.json"
 DEFAULT_DOC_SHARDS = 16
@@ -102,16 +103,23 @@ def add_segment(
     m = _read_manifest(root)
     if batch_id is not None and batch_id <= m["last_batch_id"]:
         return None  # replayed micro-batch: already ingested
-    if m["doc_shards"] is None:
-        m["doc_shards"] = doc_shards or DEFAULT_DOC_SHARDS
     base = m["next_doc_base"]
     seg = f"seg{m['seq']:05d}"
     seg_dir = f"{root}/segments/{seg}"
     shifted = docs.withColumn(id_col, F.col(id_col).cast("long") + F.lit(base))
+    # ALL segments of a root must share one doc-shard modulus (tombstone/
+    # filter cogroups key on it). The first ingest fixes it: explicit
+    # doc_shards if given, else auto-sized by the first batch's df_max with
+    # 8x headroom so the salt_rows merge bound keeps holding as the root
+    # grows well beyond that batch (builder.merge_index docstring).
+    first = m["doc_shards"] is None
     build_index(spark, shifted, seg_dir, id_col=id_col, text_col=text_col,
                 n_groups=1, n_shards=n_shards, salt_rows=salt_rows,
-                doc_shards=m["doc_shards"])
+                doc_shards=(doc_shards if first else m["doc_shards"]),
+                doc_shards_headroom=8 if first else 1)
     meta = json.loads(fsio.read_text(f"{seg_dir}/_INDEX_META.json"))
+    if first:
+        m["doc_shards"] = int(meta["doc_shards"])
     max_id = spark.read.parquet(f"{seg_dir}/docs").agg(
         F.max("doc_id")).collect()[0][0]
     m["segments"].append({"name": seg, "n_docs": meta["n_docs"],
@@ -140,14 +148,34 @@ def _global_stats(m: dict) -> tuple[int, float]:
     return n, (total_dl / n if n else 0.0)
 
 
-def _all_runs(spark: SparkSession, root: str, m: dict) -> DataFrame:
+def _union_segment_dirs(spark: SparkSession, root: str, m: dict,
+                        sub: str) -> DataFrame:
     parts = [spark.read.option("recursiveFileLookup", "true")
-             .parquet(f"{root}/segments/{s['name']}/runs")
+             .parquet(f"{root}/segments/{s['name']}/{sub}")
              for s in m["segments"]]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _all_runs(spark: SparkSession, root: str, m: dict) -> DataFrame:
+    return _union_segment_dirs(spark, root, m, "runs")
+
+
+def _all_doclens(spark: SparkSession, root: str, m: dict) -> DataFrame:
+    return _union_segment_dirs(spark, root, m, "doclens")
+
+
+def _require_doc_sharded(m: dict, op: str) -> None:
+    """Pre-doc-shard (round-1 layout) roots have segments but no recorded
+    doc_shards; grouping their per-term salts as doc shards would silently
+    split a doc's postings across groups → wrong scores. Fail loudly; a
+    `compact` rewrites the root into the current layout."""
+    if m["segments"] and m["doc_shards"] is None:
+        raise ValueError(
+            f"{op}: this segment root predates the doc-shard layout "
+            "(manifest lacks doc_shards); run compact() to migrate it")
 
 
 def _tombstone_ids(spark: SparkSession, root: str, m: dict) -> DataFrame | None:
@@ -166,6 +194,7 @@ def delete_docs(spark: SparkSession, root: str,
     ignored. Returns the number of newly deleted docs."""
     m = _read_manifest(root)
     assert m["segments"], "nothing to delete from"
+    _require_doc_sharded(m, "delete_docs")
     if isinstance(doc_ids, list):
         ids = spark.createDataFrame([(int(i),) for i in doc_ids],
                                     "doc_id long")
@@ -182,13 +211,8 @@ def delete_docs(spark: SparkSession, root: str,
     # doclens (a zero-token doc has NO runs rows but still counts toward N)
     hit = runs.join(F.broadcast(ids), "doc_id")
     agg = hit.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ddf"))
-    dl_parts = [spark.read.option("recursiveFileLookup", "true")
-                .parquet(f"{root}/segments/{s['name']}/doclens")
-                for s in m["segments"]]
-    dls = dl_parts[0]
-    for p in dl_parts[1:]:
-        dls = dls.unionByName(p)
-    docdl = dls.join(F.broadcast(ids), "doc_id").select("doc_id", "dl")
+    docdl = (_all_doclens(spark, root, m)
+             .join(F.broadcast(ids), "doc_id").select("doc_id", "dl"))
     stats = docdl.agg(F.count(F.lit(1)).alias("n"),
                       F.sum("dl").cast("long").alias("sdl")).collect()[0]
     n_del, sdl = int(stats.n or 0), int(stats.sdl or 0)
@@ -252,6 +276,7 @@ def segment_search(
     m = _read_manifest(root)
     if not m["segments"]:
         return spark.createDataFrame([], OUT_SCHEMA)
+    _require_doc_sharded(m, "segment_search")
     n_docs, avgdl = _global_stats(m)
     if n_docs <= 0:
         return spark.createDataFrame([], OUT_SCHEMA)
@@ -287,19 +312,9 @@ def segment_search(
     idf = {t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
            for t, df in global_df.items()}
 
-    qmeta: dict[str, list[tuple[int, float]]] = {}
-    nq_map: dict[str, int] = {}
-    for qid, qtext in queries:
-        counts: dict[str, int] = {}
-        for t in py_tokenize(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        nq_map[qid] = len(counts)
-        terms = [(gterm_id[t], qtf * idf[t])
-                 for t, qtf in sorted(counts.items()) if t in global_df]
-        # global processing order — shard-independent float summation
-        terms.sort(key=lambda x: (-x[1], x[0]))
-        if terms:
-            qmeta[qid] = terms
+    qmeta, nq_map = build_qmeta(
+        queries, lambda t: ((gterm_id[t], idf[t]) if t in global_df
+                            else None))
     if not qmeta:
         return spark.createDataFrame([], OUT_SCHEMA)
     bc = spark.sparkContext.broadcast((qmeta, nq_map))
@@ -390,13 +405,7 @@ def compact(spark: SparkSession, root: str, n_shards: int = 4,
         t = F.broadcast(dropset)
         (runs_all.join(t, "doc_id", "left_anti")
          .write.mode("overwrite").parquet(f"{seg_dir}/runs/g0"))
-        dl_parts = [spark.read.option("recursiveFileLookup", "true")
-                    .parquet(f"{root}/segments/{s['name']}/doclens")
-                    for s in m["segments"]]
-        dls = dl_parts[0]
-        for p in dl_parts[1:]:
-            dls = dls.unionByName(p)
-        (dls.join(t, "doc_id", "left_anti")
+        (_all_doclens(spark, root, m).join(t, "doc_id", "left_anti")
          .write.mode("overwrite").parquet(f"{seg_dir}/doclens/g0"))
     merge_index(spark, seg_dir, n_shards=n_shards, salt_rows=salt_rows,
                 doc_shards=m["doc_shards"] or DEFAULT_DOC_SHARDS)
@@ -408,5 +417,5 @@ def compact(spark: SparkSession, root: str, n_shards: int = 4,
     m["tombstones"] = {"files": [], "delta_files": [],
                        "n_deleted": 0, "deleted_dl": 0}
     _write_manifest(root, m)
-    shutil.rmtree(os.path.join(root, "tombstones"), ignore_errors=True)
+    fsio.delete_dir(f"{root}/tombstones")
     return seg

@@ -299,12 +299,18 @@ def matched_query_terms(spark: SparkSession, index_dir: str,
         "query_id string, term_id long, qtf int, idf double")
 
 
-def _matched_query_rows(spark, index_dir, queries):
+def _matched_terms(spark, index_dir, queries) -> dict:
+    """term -> (term_id, idf) for every query term present in the
+    dictionary — one term-pruned Spark scan."""
     all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
-    matched = {r.term: (r.term_id, r.idf) for r in
-               (spark.read.parquet(f"{index_dir}/dict")
-                .filter(F.col("term").isin(all_terms))
-                .select("term", "term_id", "idf").collect())}
+    return {r.term: (r.term_id, float(r.idf)) for r in
+            (spark.read.parquet(f"{index_dir}/dict")
+             .filter(F.col("term").isin(all_terms))
+             .select("term", "term_id", "idf").collect())}
+
+
+def _matched_query_rows(spark, index_dir, queries):
+    matched = _matched_terms(spark, index_dir, queries)
     rows = []
     for qid, qtext in queries:
         counts: dict[str, int] = {}
@@ -315,6 +321,32 @@ def _matched_query_rows(spark, index_dir, queries):
                 tid, idf = matched[term]
                 rows.append((qid, tid, qtf, float(idf)))
     return rows
+
+
+def build_qmeta(queries: list[tuple[str, str]], resolve) -> tuple[dict, dict]:
+    """(qmeta, nq_map) shared by every serving path: qmeta maps query_id →
+    [(term_id, qtf·idf)] in the query's GLOBAL processing order (impact
+    desc, term_id tiebreak — LOAD-BEARING: every shard must sum a doc's
+    contributions in the same float order or ties break shard-dependently);
+    nq_map maps query_id → raw distinct-token count (conjunctive emptiness
+    checks). ``resolve(term) -> (term_id, idf) | None``. One implementation
+    so local, cluster, and segment paths cannot drift apart."""
+    qmeta: dict[str, list[tuple[int, float]]] = {}
+    nq_map: dict[str, int] = {}
+    for qid, qtext in queries:
+        counts: dict[str, int] = {}
+        for t in py_tokenize(qtext):
+            counts[t] = counts.get(t, 0) + 1
+        nq_map[qid] = len(counts)
+        terms = []
+        for term, qtf in sorted(counts.items()):
+            r = resolve(term)
+            if r is not None:
+                terms.append((r[0], qtf * r[1]))
+        terms.sort(key=lambda x: (-x[1], x[0]))
+        if terms:
+            qmeta[qid] = terms
+    return qmeta, nq_map
 
 
 # ------------------------------------------------------- shard-batch scoring
@@ -574,23 +606,8 @@ def wand_search_local(
     import pyarrow.dataset as ds
 
     dct, avgdl = _local_dict(index_dir)
-    qmeta: dict[str, list[tuple[int, float]]] = {}
-    nq_map: dict[str, int] = {}
-    term_ids: set[int] = set()
-    for qid, qtext in queries:
-        counts: dict[str, int] = {}
-        for t in py_tokenize(qtext):
-            counts[t] = counts.get(t, 0) + 1
-        nq_map[qid] = len(counts)
-        terms = []
-        for term, qtf in sorted(counts.items()):
-            if term in dct:
-                tid, idf = dct[term]
-                terms.append((tid, qtf * idf))
-                term_ids.add(tid)
-        terms.sort(key=lambda x: (-x[1], x[0]))
-        if terms:
-            qmeta[qid] = terms
+    qmeta, nq_map = build_qmeta(queries, dct.get)
+    term_ids = {tid for terms in qmeta.values() for tid, _ in terms}
     empty = pd.DataFrame({"query_id": pd.array([], dtype="str"),
                           "rank": pd.array([], dtype="int32"),
                           "doc_id": pd.array([], dtype="int64"),
@@ -644,19 +661,11 @@ def wand_search(
             f"{index_dir} uses the pre-doc-shard layout (no 'doc_shards' in "
             "_INDEX_META.json); rebuild the index with the current builder")
 
-    qrows = _matched_query_rows(spark, index_dir, queries)
-    if not qrows:
+    matched = _matched_terms(spark, index_dir, queries)
+    qmeta, nq_map = build_qmeta(queries, matched.get)
+    if not qmeta:
         return spark.createDataFrame([], OUT_SCHEMA)
-    term_ids = sorted({r[1] for r in qrows})
-    qmeta: dict[str, list[tuple[int, float]]] = {}
-    for qid, tid, qtf, idf in qrows:
-        qmeta.setdefault(qid, []).append((tid, qtf * idf))
-    # the query's GLOBAL term processing order (impact desc, term_id
-    # tiebreak) — identical in every shard so float summation order (and
-    # hence tie-breaking) is shard-independent
-    for terms in qmeta.values():
-        terms.sort(key=lambda x: (-x[1], x[0]))
-    nq_map = {qid: len(set(py_tokenize(qtext))) for qid, qtext in queries}
+    term_ids = sorted({tid for terms in qmeta.values() for tid, _ in terms})
     bc = spark.sparkContext.broadcast((qmeta, nq_map))
 
     postings = (spark.read.parquet(f"{index_dir}/postings")
