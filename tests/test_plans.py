@@ -63,3 +63,8 @@ def test_wand_search_plan(spark):
     plan = physical_plan(df)
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
+    # the global merge's row_number top-k must compile to WindowGroupLimit
+    # (partial per-map-partition top-k BEFORE the shuffle) — this is what
+    # bounds merge shuffle volume at partitions×k per query independent of
+    # the doc-shard count D (SCALE.md §2)
+    assert "WindowGroupLimit" in plan

@@ -109,6 +109,48 @@ def test_filter_and_exclude_compose():
             assert math.isclose(s1, s2, rel_tol=1e-12)
 
 
+def test_property_scorer_vs_bruteforce():
+    """Property-based: random list shapes/coefs/k — pruned shard scoring,
+    unpruned, and the brute-force reference must agree on ranking (ties
+    doc-asc) and scores; pruned == unpruned exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(seed)
+        n_docs = data.draw(st.integers(50, 2000))
+        n_terms = data.draw(st.integers(1, 5))
+        k = data.draw(st.integers(1, 12))
+        parts, lists, qterms = [], {}, []
+        for tid in range(1, n_terms + 1):
+            sz = int(rng.integers(1, max(2, n_docs // 2)))
+            ids = np.sort(rng.choice(n_docs, sz, replace=False)).astype(
+                np.int64)
+            b, tf, dl = _make_blocks(tid, ids, rng, block_size=8)
+            parts.append(b)
+            lists[tid] = (tf, dl)
+            coef = float(rng.uniform(0.05, 8.0))
+            qterms.append((tid, coef))
+        blocks = pd.concat(parts, ignore_index=True)
+        qm = {"q": sorted(qterms, key=lambda x: (-x[1], x[0]))}
+        nq = {"q": len(qterms)}
+        pruned = score_shard_queries(blocks, qm, nq, AVGDL, k, prune=True)
+        full = score_shard_queries(blocks, qm, nq, AVGDL, k, prune=False)
+        pd.testing.assert_frame_equal(pruned, full)
+        # brute sums in the scorer's term order so quasi-tied docs rank
+        # identically (ULP-level float order sensitivity)
+        expect = _brute(lists, qm["q"], k)
+        got = [(r.doc_id, r.score) for r in pruned.itertuples()]
+        assert [d for d, _ in got] == [d for d, _ in expect]
+        for (_, s1), (_, s2) in zip(got, expect):
+            assert math.isclose(s1, s2, rel_tol=1e-12)
+
+    run()
+
+
 def test_conjunctive_shard_semantics():
     """A query term absent from the shard ⇒ empty (its docs can't be in
     this shard); present terms intersect exactly."""
