@@ -113,6 +113,20 @@ def q_knn_ivf(spark, sf_dir):
             .withColumn("cos", F.round("cos", ROUND)))
 
 
+# ------------------------------------------------------------ multimodal
+
+def q_media_histogram(spark, sf_dir):
+    """S6 multimodal plumbing, driver-oracle-checked end to end: documents
+    become deterministic FAKE image payloads (binary columns through Arrow),
+    a mapInPandas stage decodes them and emits exact integer bucket
+    histograms (the integer core of the featurizer). Real codecs stay an
+    honest stub (sources/multimodal.py) — this proves the schemas, batch
+    shapes, and byte plumbing, not pixel math."""
+    from colbert_live_spark.sources import multimodal
+    media = multimodal.media_from_text(_docs(spark, sf_dir))
+    return multimodal.decode_histogram(media)
+
+
 # ------------------------------------------------------------ text stats
 
 def q_text_stats(spark, sf_dir):
@@ -470,6 +484,28 @@ SELECT doc_id, {ts.sql_lang_id('text')} AS lang_pred FROM documents
         "fingerprint": f"""
 SELECT doc_id, {ts.sql_fingerprint('text')} AS fp FROM documents
 """,
+        # corpus text is pure ASCII (verified: octet_length(encode(text)) ==
+        # length(text)), so the byte histogram equals the codepoint histogram
+        "media_histogram": """
+WITH codes AS (
+  SELECT media_id, unicode(substr(text, i::INT, 1)) AS c FROM (
+    SELECT doc_id AS media_id, text,
+           unnest(range(1, strlen(text) + 1)) AS i
+    FROM documents)
+),
+hist AS (
+  SELECT media_id, (c // 16) AS dim, count(*)::BIGINT AS count
+  FROM codes GROUP BY media_id, (c // 16)
+),
+dims AS (
+  SELECT doc_id AS media_id, strlen(text)::INT AS width,
+         unnest(range(0, 16)) AS dim
+  FROM documents
+)
+SELECT d.media_id, d.width, 1 AS height, 1 AS n_frames, d.dim::INT AS dim,
+       coalesce(h.count, 0)::BIGINT AS count
+FROM dims d LEFT JOIN hist h ON h.media_id = d.media_id AND h.dim = d.dim
+""",
     }
 
 
@@ -485,6 +521,7 @@ def query_map():
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "media_histogram": q_media_histogram,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

@@ -105,6 +105,76 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def encode_fake_bytes(body: bytes) -> bytes:
+    """Wrap raw bytes as a FAKE 1×len(body) image payload (deterministic —
+    no randomness, so an engine-independent oracle can reproduce the decode
+    end-to-end)."""
+    w = min(len(body), 0xFFFF)
+    return FAKE_MAGIC + w.to_bytes(2, "big") + (1).to_bytes(2, "big") \
+        + body[:w]
+
+
+def media_from_text(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Deterministic media synthesis: each doc's UTF-8 bytes become a FAKE
+    image payload — real binary columns cross the Arrow boundary in both
+    directions (synthesis out, decode in)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "kind": "image",
+                "payload": [encode_fake_bytes(t.encode("utf-8"))
+                            for t in pdf[text_col]],
+                "mime": "application/x-fake",
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(run,
+                                                     schema=MEDIA_SCHEMA)
+
+
+HIST_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("dim", IntegerType(), False),
+    StructField("count", LongType(), False),
+])
+
+
+def decode_histogram(media: DataFrame) -> DataFrame:
+    """Decode + bucket-histogram (the integer core of :func:`_featurize`,
+    exploded one row per bucket) — exact-integer output makes the whole
+    decode/featurize plumbing driver-oracle-checkable without float32
+    round-off (the normalized float features stay pytest-verified)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = 256 // FEATURE_DIM
+        for pdf in batches:
+            ids, ws, hs, fr, dims, counts = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = _decode_one(bytes(payload))
+                hist = np.bincount(px // bucket, minlength=FEATURE_DIM)
+                ids.extend([mid] * FEATURE_DIM)
+                ws.extend([w] * FEATURE_DIM)
+                hs.extend([h] * FEATURE_DIM)
+                fr.extend([1] * FEATURE_DIM)
+                dims.extend(range(FEATURE_DIM))
+                counts.extend(int(c) for c in hist[:FEATURE_DIM])
+            yield pd.DataFrame({
+                "media_id": ids,
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "n_frames": pd.array(fr, dtype="int32"),
+                "dim": pd.array(dims, dtype="int32"),
+                "count": pd.array(counts, dtype="int64"),
+            })
+
+    return media.mapInPandas(run, schema=HIST_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,
                  max_frames: int = 8) -> DataFrame:
     """'Video' frame sampling stub: emit up to max_frames offsets per
