@@ -42,6 +42,7 @@ def main() -> None:
         "fingerprint",
         "embedding_neardup_lsh",
         "dedup_keep",
+        "media_histogram",
     ]
     qmap = eq.query_map()
     timings: dict[str, float] = {}
