@@ -85,6 +85,27 @@ def test_conjunctive_composes_with_doc_filter(spark, documents, oracle_index,
             assert math.isclose(s1, s2, abs_tol=ATOL)
 
 
+def test_concurrent_group_build_identical(spark, documents,
+                                          tmp_path_factory):
+    """build_runs with a driver thread pool (max_concurrency > 1) must
+    produce the same index as the sequential build — same ledger groups,
+    identical search results."""
+    from colbert_live_spark.index.builder import merge_index
+    base = tmp_path_factory.mktemp("conc")
+    seq_dir, conc_dir = str(base / "seq"), str(base / "conc")
+    for out, conc in ((seq_dir, 1), (conc_dir, 3)):
+        build_runs(spark, documents, out, n_groups=4, max_concurrency=conc)
+        merge_index(spark, out, n_shards=4, salt_rows=100)
+    from colbert_live_spark.index.builder import completed_groups
+    assert completed_groups(spark, seq_dir) == completed_groups(
+        spark, conc_dir) == {0, 1, 2, 3}
+    a = {(r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+         for r in wand_search(spark, seq_dir, DOC_QUERIES, k=K).collect()}
+    b = {(r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+         for r in wand_search(spark, conc_dir, DOC_QUERIES, k=K).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_resume_assignment_drift_fails_loudly(spark, documents,
                                               tmp_path_factory):
     """Completed groups whose recorded file lists no longer match the
