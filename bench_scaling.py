@@ -53,15 +53,20 @@ def _burn_np(end: float) -> int:
     rng = np.random.default_rng(0)
     a = rng.integers(0, 1 << 40, 2_000_000).astype(np.int64)
     idx = rng.permutation(a.size)
-    t0 = time.time()
-    n = 0
-    while True:
-        b = a[idx]
-        n += 1 + int(b[0] & 0)
-        if time.time() >= end:
-            break
-    dt = max(time.time() - t0, 1e-9)
-    return int(1000.0 * n / dt)
+    # best-of sub-windows: neighbor interference is one-sided (only slows),
+    # so the max sub-window rate is the least-polluted estimate
+    best = 0.0
+    while time.time() < end:
+        t0 = time.time()
+        sub_end = min(end, t0 + 1.0)
+        n = 0
+        while True:
+            b = a[idx]
+            n += 1 + int(b[0] & 0)
+            if time.time() >= sub_end:
+                break
+        best = max(best, n / max(time.time() - t0, 1e-9))
+    return int(1000.0 * best)
 
 
 def bench_queries(n: int) -> list[tuple[str, str]]:

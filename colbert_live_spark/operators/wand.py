@@ -592,6 +592,7 @@ def wand_search_local(
     k: int = 10,
     prune: bool = True,
     conjunctive: bool = False,
+    filter_ids=None,
 ) -> pd.DataFrame:
     """Low-latency serving mode: score on the driver with ZERO Spark jobs —
     the answer to "a user issues one query and waits". The dictionary is
@@ -617,8 +618,12 @@ def wand_search_local(
     dataset = ds.dataset(f"{index_dir}/postings", format="parquet")
     blocks = dataset.to_table(
         filter=ds.field("term_id").isin(sorted(term_ids))).to_pandas()
+    fids = None
+    if filter_ids is not None:
+        fids = np.unique(np.asarray(filter_ids, dtype=np.int64))
     partial = score_shard_queries(blocks, qmeta, nq_map, avgdl, k,
-                                  prune=prune, conjunctive=conjunctive)
+                                  prune=prune, conjunctive=conjunctive,
+                                  filter_ids=fids)
     if not len(partial):
         return empty
     out = []

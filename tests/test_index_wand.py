@@ -208,6 +208,28 @@ def test_local_mode_matches_cluster(spark, index_dir):
     assert len(wand_search_local(index_dir, [("qx", "zzzmissing")], k=K)) == 0
 
 
+def test_local_mode_doc_filter(spark, index_dir, documents, oracle_index):
+    """Local mode composes with a doc filter (global stats preserved) —
+    same answers as the oracle with the filter applied."""
+    from colbert_live_spark.operators.wand import wand_search_local
+    from colbert_live_spark.oracle import oracle_search
+    en_ids = sorted(r.doc_id for r in
+                    documents.filter(documents.lang == "en")
+                    .select("doc_id").collect())
+    local = wand_search_local(index_dir, DOC_QUERIES, k=K,
+                              filter_ids=en_ids)
+    got = {}
+    for r in local.itertuples():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qid, qtext in DOC_QUERIES:
+        expect = oracle_search(oracle_index, qtext, k=K,
+                               doc_filter=set(en_ids))
+        g = got.get(qid, [])
+        assert [d for d, _ in g] == [d for d, _ in expect], (qid, qtext)
+        for (_, s1), (_, s2) in zip(g, expect):
+            assert math.isclose(s1, s2, abs_tol=ATOL)
+
+
 def test_doc_filter_is_distributed(spark, index_dir, documents):
     """The filtered path must cogroup filter ids with blocks (a
     FlatMapCoGroupsInPandas node), never collect them to the driver."""
