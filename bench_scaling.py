@@ -54,9 +54,14 @@ def _burn_np(end: float) -> int:
     a = rng.integers(0, 1 << 40, 2_000_000).astype(np.int64)
     idx = rng.permutation(a.size)
     # best-of sub-windows: neighbor interference is one-sided (only slows),
-    # so the max sub-window rate is the least-polluted estimate
+    # so the max sub-window rate is the least-polluted estimate. At least
+    # one sub-window with at least one iteration ALWAYS runs, even if setup
+    # consumed the whole window (a 0 sample would ZeroDivisionError the
+    # ratio after the entire bench has run).
     best = 0.0
-    while time.time() < end:
+    first = True
+    while first or time.time() < end:
+        first = False
         t0 = time.time()
         sub_end = min(end, t0 + 1.0)
         n = 0
@@ -66,7 +71,7 @@ def _burn_np(end: float) -> int:
             if time.time() >= sub_end:
                 break
         best = max(best, n / max(time.time() - t0, 1e-9))
-    return int(1000.0 * best)
+    return max(1, int(1000.0 * best))
 
 
 def bench_queries(n: int) -> list[tuple[str, str]]:
@@ -345,18 +350,25 @@ def main() -> None:
         "all_runs in scaling.json). Two same-process multiprocessing burns "
         "calibrate what the host actually delivers between the two thread "
         "counts: an ALU-bound loop (delivered_cpu_ratio) and a "
-        "memory-bandwidth-bound numpy gather+cumsum "
-        "(delivered_membw_ratio). The engine's hot loops (varint decode, "
-        "sorted merges, shuffle) are bandwidth-shaped, and on one shared "
-        "memory bus extra threads add no bandwidth — whereas scaling a real "
-        "cluster N→4N executors adds memory buses proportionally, so the "
-        "bandwidth-normalized figure is the cluster-relevant one; all three "
-        "are reported.",
+        "memory-bandwidth-bound numpy permutation gather with best-of-1s "
+        "sub-windows, setup excluded (delivered_membw_ratio — itself noisy "
+        "on this host; treat single-run bandwidth figures with suspicion "
+        "and prefer ranges across measurement windows). The engine's hot "
+        "loops (varint decode, sorted merges, shuffle) are bandwidth-"
+        "shaped, and on one shared memory bus extra threads add no "
+        "bandwidth — whereas scaling a real cluster N→4N executors adds "
+        "memory buses proportionally, so the bandwidth-normalized figure "
+        "is the cluster-relevant one; all three are reported.",
         "",
         "Latency note: single-query p50/p95 (Spark job) measure end-to-end "
         "scheduler round trips; the local mode is the low-latency serving "
         "path (zero Spark jobs, identical results — tested), and the "
         "batched path is the throughput mode (SURVEY.md §3.3).",
+        "",
+        "See BENCH/ANALYSIS.md for interpretation: hardware-envelope "
+        "calibration notes, the round-2 topology addendum (round-1 vs "
+        "round-2 table), isolation numbers, per-phase scaling, and "
+        "recorded negative results.",
     ]
     open("BENCH/BASELINE.md", "w").write("\n".join(md) + "\n")
     print(json.dumps(summary))

@@ -620,7 +620,10 @@ def wand_search_local(
         filter=ds.field("term_id").isin(sorted(term_ids))).to_pandas()
     fids = None
     if filter_ids is not None:
-        fids = np.unique(np.asarray(filter_ids, dtype=np.int64))
+        # accept any iterable of ids (set/list/array — the oracle-side
+        # filter API is a set, so mirror that tolerance)
+        fids = np.unique(np.fromiter((int(x) for x in filter_ids),
+                                     dtype=np.int64))
     partial = score_shard_queries(blocks, qmeta, nq_map, avgdl, k,
                                   prune=prune, conjunctive=conjunctive,
                                   filter_ids=fids)

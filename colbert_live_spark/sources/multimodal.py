@@ -108,25 +108,41 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
 def encode_fake_bytes(body: bytes) -> bytes:
     """Wrap raw bytes as a FAKE 1×len(body) image payload (deterministic —
     no randomness, so an engine-independent oracle can reproduce the decode
-    end-to-end)."""
-    w = min(len(body), 0xFFFF)
-    return FAKE_MAGIC + w.to_bytes(2, "big") + (1).to_bytes(2, "big") \
-        + body[:w]
+    end-to-end). Payloads above the u16 width are rejected loudly rather
+    than silently truncated (a truncated payload would silently diverge
+    from any full-content oracle)."""
+    if len(body) > 0xFFFF:
+        raise ValueError(
+            f"FAKE payload body is {len(body)} bytes; the u16 width field "
+            "caps it at 65535 — split the content or use a real codec")
+    return (FAKE_MAGIC + len(body).to_bytes(2, "big")
+            + (1).to_bytes(2, "big") + body)
 
 
 def media_from_text(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
-    """Deterministic media synthesis: each doc's UTF-8 bytes become a FAKE
+    """Deterministic media synthesis: each doc's text BYTES become a FAKE
     image payload — real binary columns cross the Arrow boundary in both
-    directions (synthesis out, decode in)."""
+    directions (synthesis out, decode in). Text must be ASCII: the
+    media_histogram oracle histograms CODEPOINTS, which equals the byte
+    histogram only for ASCII — enforced loudly here, not assumed."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = []
+            for mid, t in zip(pdf[id_col], pdf[text_col]):
+                try:
+                    body = t.encode("ascii")
+                except UnicodeEncodeError as e:
+                    raise ValueError(
+                        f"media_from_text: doc {mid} contains non-ASCII "
+                        "text; the byte-histogram oracle contract requires "
+                        "ASCII (bytes == codepoints)") from e
+                payloads.append(encode_fake_bytes(body))
             yield pd.DataFrame({
                 "media_id": pdf[id_col],
                 "kind": "image",
-                "payload": [encode_fake_bytes(t.encode("utf-8"))
-                            for t in pdf[text_col]],
+                "payload": payloads,
                 "mime": "application/x-fake",
             })
 
