@@ -56,14 +56,21 @@ def knn_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
 def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     """(id, v, n, centroid_id): nearest-centroid assignment (broadcast
     cross join over C ≪ N centroids; deterministic cos-desc/centroid-asc
-    argmax)."""
+    argmax). max_by hash-aggregate, NOT a row_number window: the agg gets
+    map-side partial combine (shuffle ~N rows), where the window sorts and
+    shuffles all N·C scored rows. Tie-break matches the window form: max
+    over struct(cos, -centroid_id) picks the lowest centroid on equal cos
+    — selection only, so results are identical."""
     scored = (base.crossJoin(F.broadcast(cents))
               .select("id", "v", "n", "centroid_id",
                       (_dot(F.col("v"), F.col("cv"))
                        / (F.col("n") * F.col("cn"))).alias("cos")))
-    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("centroid_id"))
-    return (scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1).drop("r", "cos"))
+    return (scored.groupBy("id")
+            .agg(F.first("v").alias("v"), F.first("n").alias("n"),
+                 F.max_by(F.col("centroid_id"),
+                          F.struct(F.col("cos"),
+                                   (-F.col("centroid_id")).alias("nc")))
+                 .alias("centroid_id")))
 
 
 def kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int = 2,
