@@ -15,9 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: batched disjunctive BM25
-    top-10 over the documents corpus for the reference query set."""
-    from colbert_live_spark.entry_queries import q_bm25_topk
-    return q_bm25_topk(spark, "/root/testdata/sf0.001")
+    top-10 for the reference query set, served from the COMPRESSED
+    term-sharded index via block-max pruned scoring (the 100 TB serving
+    path — no corpus-cardinality relation is ever broadcast; doc lengths
+    ride inside the posting blocks)."""
+    from colbert_live_spark.entry_queries import q_bm25_topk_wand
+    return q_bm25_topk_wand(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

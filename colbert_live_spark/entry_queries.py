@@ -423,6 +423,42 @@ def q_bm25_after_delete(spark, sf_dir):
     return _round_score(segment_search(spark, root, DOC_QUERIES, k=10))
 
 
+def built_compacted_root(spark, sf_dir: str) -> str:
+    """Segment root with the same tombstoned state as built_deleted_root,
+    then compact()ed: tombstoned docs physically dropped, tombstone set
+    cleared — built once per sf_dir per process under /tmp."""
+    import hashlib
+    import os
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/cls_segcomp_v2_{tag}"
+    ready = f"{root}/_READY"
+    if not os.path.exists(ready):
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        from colbert_live_spark.index.segments import (
+            add_segment, compact, delete_docs)
+        docs = _docs(spark, sf_dir)
+        add_segment(spark, docs, root, n_shards=4, salt_rows=200)
+        delete_docs(spark, root,
+                    docs.filter(F.expr(_DELETE_PRED_SQL)).select("doc_id"))
+        compact(spark, root, n_shards=4, salt_rows=200)
+        # compaction must physically drop the tombstone state
+        assert not os.path.exists(f"{root}/tombstones"), \
+            "compact() left tombstone files behind"
+        open(ready, "w").close()
+    return root
+
+
+def q_bm25_after_compact(spark, sf_dir):
+    """Compaction invariant, driver-oracle-checked: folding all segments
+    into one and PHYSICALLY dropping tombstoned docs changes no answer —
+    the oracle is the same reduced-corpus recompute as bm25_after_delete
+    (compaction alters physical layout only, never results)."""
+    from colbert_live_spark.index.segments import segment_search
+    root = built_compacted_root(spark, sf_dir)
+    return _round_score(segment_search(spark, root, DOC_QUERIES, k=10))
+
+
 def q_ndcg_at_k(spark, sf_dir):
     """A7 eval: NDCG@10 with graded relevance rel = least(tf, 3) derived
     from the single-term queries (the metric the reference reports for
@@ -470,9 +506,10 @@ def q_rrf_fusion(spark, sf_dir):
     cstats = bm25.corpus_stats(dstats)
     tstats = bm25.term_stats(post, cstats.select("n_docs"))
     qterms = bm25.query_terms_df(spark, DOC_QUERIES)
+    # dstats is corpus-cardinality — no broadcast hint (AQE decides)
     per_term = (post.join(F.broadcast(qterms), "term")
                 .join(F.broadcast(tstats.select("term", "idf")), "term")
-                .join(dstats.hint("broadcast"), "doc_id")
+                .join(dstats, "doc_id")
                 .crossJoin(F.broadcast(cstats.select("avgdl")))
                 .select("query_id", "term", "doc_id",
                         (F.col("idf") * bm25.bm25_weight(
@@ -632,6 +669,10 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM 
         "bm25_after_delete": _bm25_topk_sql(k=10).replace(
             "FROM documents",
             f"FROM (SELECT * FROM documents WHERE NOT ({_DELETE_PRED_SQL}))"),
+        # compaction changes physical layout only — same reduced-corpus oracle
+        "bm25_after_compact": _bm25_topk_sql(k=10).replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE NOT ({_DELETE_PRED_SQL}))"),
         # liveness: segmented results must equal the MONOLITHIC oracle
         "bm25_incremental": _bm25_topk_sql(k=10),
         "bm25_incremental_conjunctive": _bm25_topk_sql(k=10,
@@ -688,6 +729,7 @@ def _core_query_map():
         "bm25_filtered_wand": q_bm25_filtered_wand,
         "bm25_tag_filtered": q_bm25_tag_filtered,
         "bm25_after_delete": q_bm25_after_delete,
+        "bm25_after_compact": q_bm25_after_compact,
         "bm25_incremental": q_bm25_incremental,
         "bm25_incremental_conjunctive": q_bm25_incremental_conjunctive,
         "ndcg_at_k": q_ndcg_at_k,

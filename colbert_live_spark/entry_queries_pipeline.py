@@ -22,6 +22,8 @@ EMB_LSH_BITS, EMB_LSH_BANDS, EMB_DIM = 16, 4, 64
 KNN_QUERIES = [0, 1, 2, 3, 4]
 KNN_K = 10
 IVF_C, IVF_PROBE, KMEANS_ITERS = 16, 4, 2
+IVF_TRAIN_SAMPLE = 200  # deterministic lowest-hash training sample (the
+# 10^12-vector shape: Lloyd never iterates over the full corpus)
 
 
 def _docs(spark, sf_dir):
@@ -110,6 +112,18 @@ def q_knn_bruteforce(spark, sf_dir):
 def q_knn_ivf(spark, sf_dir):
     return (similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERIES, KNN_K,
                                n_centroids=IVF_C, nprobe=IVF_PROBE)
+            .withColumn("cos", F.round("cos", ROUND)))
+
+
+def q_knn_ivf_sampled(spark, sf_dir):
+    """IVF with SAMPLE-trained centroids: Lloyd runs over the
+    IVF_TRAIN_SAMPLE lowest-hash vectors only (deterministic, oracle-
+    reproducible), then the full corpus is assigned once and probed —
+    the shape that survives 10^12 vectors (training cost is O(sample·C·
+    iters), independent of corpus size)."""
+    return (similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERIES, KNN_K,
+                               n_centroids=IVF_C, nprobe=IVF_PROBE,
+                               train_sample=IVF_TRAIN_SAMPLE)
             .withColumn("cos", F.round("cos", ROUND)))
 
 
@@ -286,37 +300,31 @@ WHERE {cos_ab} >= {NEARDUP_COS}
 """
 
 
-def oracle_map() -> dict[str, str]:
-    cos_ab = _COS.format(a="a", b="b")
-    knn_body = f"""
-WITH {_VECS},
-q AS (SELECT vec_id AS query_id, e AS qe FROM vecs
-      WHERE vec_id IN ({", ".join(map(str, KNN_QUERIES))})),
-scored AS (
-  SELECT q.query_id, a.vec_id,
-         list_dot_product(q.qe, a.e) / (sqrt(list_dot_product(q.qe, q.qe))
-           * sqrt(list_dot_product(a.e, a.e))) AS cos
-  FROM vecs a CROSS JOIN q WHERE a.vec_id != q.query_id
-),
-ranked AS (
-  SELECT query_id, vec_id, cos,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, rank::INT AS rank, vec_id, round(cos, {ROUND}) AS cos
-FROM ranked WHERE rank <= {KNN_K}
-"""
-    # fixed-iteration k-means, unrolled: a{i} = assignment under cents{i};
-    # cents{i+1} = element-wise means rounded to 9dp (matches the Spark
-    # side's per-iteration rounding — see similarity.kmeans_centroids)
+def _ivf_sql(train_sample: int | None = None) -> str:
+    """Fixed-iteration k-means IVF oracle, unrolled: a{i} = assignment under
+    cents{i}; cents{i+1} = element-wise means rounded to 9dp (matches the
+    Spark side's per-iteration rounding — similarity.kmeans_centroids).
+    ``train_sample``: Lloyd runs over the lowest-hash sample relation
+    (portable md5 order, vec_id tie-break — identical to the Spark plan's
+    deterministic sample); full-corpus assignment is unchanged."""
     def cos(e1, e2):
         return (f"list_dot_product({e1}, {e2}) / "
                 f"(sqrt(list_dot_product({e1}, {e1}))"
                 f" * sqrt(list_dot_product({e2}, {e2})))")
 
+    pre = ""
+    tr = "vecs"
+    if train_sample is not None:
+        pre = f"""svecs AS (
+  SELECT vec_id, e FROM vecs
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+           vec_id ASC
+  LIMIT {train_sample}
+),
+"""
+        tr = "svecs"
     km = [f"""cents0 AS (
-  SELECT vec_id AS centroid_id, e AS cv FROM vecs
+  SELECT vec_id AS centroid_id, e AS cv FROM {tr}
   ORDER BY vec_id LIMIT {IVF_C}
 )"""]
     for it in range(KMEANS_ITERS):
@@ -326,7 +334,7 @@ FROM ranked WHERE rank <= {KNN_K}
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {cos("v.e", "c.cv")} DESC,
                                        c.centroid_id ASC) AS r
-    FROM vecs v CROSS JOIN cents{it} c) WHERE r = 1
+    FROM {tr} v CROSS JOIN cents{it} c) WHERE r = 1
 )""")
         km.append(f"""cents{it + 1} AS (
   SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
@@ -337,9 +345,9 @@ FROM ranked WHERE rank <= {KNN_K}
   GROUP BY centroid_id
 )""")
     cents_final = f"cents{KMEANS_ITERS}"
-    ivf_body = f"""
+    return f"""
 WITH {_VECS},
-{",".join(km)},
+{pre}{",".join(km)},
 assigned AS (
   SELECT vec_id, e, centroid_id FROM (
     SELECT v.vec_id, v.e, c.centroid_id,
@@ -373,6 +381,31 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, vec_id, round(cos, {ROUND}) AS cos
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+def oracle_map() -> dict[str, str]:
+    cos_ab = _COS.format(a="a", b="b")
+    knn_body = f"""
+WITH {_VECS},
+q AS (SELECT vec_id AS query_id, e AS qe FROM vecs
+      WHERE vec_id IN ({", ".join(map(str, KNN_QUERIES))})),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         list_dot_product(q.qe, a.e) / (sqrt(list_dot_product(q.qe, q.qe))
+           * sqrt(list_dot_product(a.e, a.e))) AS cos
+  FROM vecs a CROSS JOIN q WHERE a.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, round(cos, {ROUND}) AS cos
+FROM ranked WHERE rank <= {KNN_K}
+"""
+    ivf_body = _ivf_sql()
+    ivf_sampled_body = _ivf_sql(train_sample=IVF_TRAIN_SAMPLE)
     return {
         "dedup_exact": """
 WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
@@ -470,6 +503,7 @@ WHERE {cos_ab} >= {NEARDUP_COS}
         "embedding_neardup_lsh": _embedding_lsh_sql(),
         "knn_bruteforce": knn_body,
         "knn_ivf": ivf_body,
+        "knn_ivf_sampled": ivf_sampled_body,
         "text_stats": f"""
 SELECT doc_id,
        {ts.sql_token_count('text')}::INT AS n_tokens,
@@ -521,6 +555,7 @@ def query_map():
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_sampled": q_knn_ivf_sampled,
         "media_histogram": q_media_histogram,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,

@@ -267,7 +267,9 @@ def merge_index(
     st = dstats.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.avg("dl").alias("avgdl"),
                     F.sum("dl").cast("long").alias("sum_dl")).collect()[0]
-    n_docs, avgdl, sum_dl = st.n_docs, float(st.avgdl), int(st.sum_dl or 0)
+    # avgdl is NULL over an empty corpus (empty ingest batch) — a crash
+    # here would poison the segment-root manifest path (advice r2)
+    n_docs, avgdl, sum_dl = st.n_docs, float(st.avgdl or 0.0), int(st.sum_dl or 0)
     # stats table written driver-side (single row — not worth a Spark job)
     import pyarrow as pa
     fsio.write_parquet_atomic(

@@ -90,19 +90,41 @@ def add_segment(
     salt_rows: int = 1_000_000,
     doc_shards: int | None = None,
     batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> str | None:
     """Ingest one batch as a new segment; ``id_col`` values must be locally
     unique — they are offset by the manifest's next_doc_base for global
-    uniqueness. Returns the segment name.
+    uniqueness. Returns the segment name (None for no-op batches).
 
     ``batch_id``: idempotence token for at-least-once callers (Structured
     Streaming ``foreachBatch`` replays a batch if the sink committed but the
-    stream checkpoint did not). A batch id ≤ the last committed one is a
-    no-op returning None — the idempotent-sink pattern.
+    stream checkpoint did not). A batch id ≤ the last committed one *for the
+    same stream* is a no-op returning None — the idempotent-sink pattern.
+
+    ``stream_id``: namespaces the idempotence token. Two streaming queries
+    with separate checkpoints both start at batch_id 0; without namespacing
+    one writer's batches would be silently dropped as "replays". Callers
+    that pass ``batch_id`` without a ``stream_id`` share a single default
+    namespace (single-writer-per-root).
+
+    An empty input batch is a no-op: no segment is registered (the ingest
+    ledger would otherwise record a doc-less segment and, on a first
+    ingest, fix a degenerate doc-shard modulus), but the batch_id is still
+    committed so replay detection stays monotone.
     """
     m = _read_manifest(root)
-    if batch_id is not None and batch_id <= m["last_batch_id"]:
+    sid = stream_id if stream_id is not None else "_default"
+    last = m.get("stream_batch_ids", {}).get(
+        sid, m["last_batch_id"] if sid == "_default" else -1)
+    if batch_id is not None and batch_id <= last:
         return None  # replayed micro-batch: already ingested
+
+    def commit_batch_id() -> None:
+        if batch_id is not None:
+            m.setdefault("stream_batch_ids", {})[sid] = batch_id
+            if sid == "_default":
+                m["last_batch_id"] = batch_id
+
     base = m["next_doc_base"]
     seg = f"seg{m['seq']:05d}"
     seg_dir = f"{root}/segments/{seg}"
@@ -118,6 +140,11 @@ def add_segment(
                 doc_shards=(doc_shards if first else m["doc_shards"]),
                 doc_shards_headroom=8 if first else 1)
     meta = json.loads(fsio.read_text(f"{seg_dir}/_INDEX_META.json"))
+    if int(meta["n_docs"]) == 0:
+        fsio.delete_dir(seg_dir)
+        commit_batch_id()
+        _write_manifest(root, m)
+        return None
     if first:
         m["doc_shards"] = int(meta["doc_shards"])
     max_id = spark.read.parquet(f"{seg_dir}/docs").agg(
@@ -128,8 +155,7 @@ def add_segment(
                           "ts": int(time.time())})
     m["next_doc_base"] = int(max_id) + 1
     m["seq"] += 1
-    if batch_id is not None:
-        m["last_batch_id"] = batch_id
+    commit_batch_id()
     _write_manifest(root, m)
     return seg
 
@@ -205,14 +231,22 @@ def delete_docs(spark: SparkSession, root: str,
     prior = _tombstone_ids(spark, root, m)
     if prior is not None:
         ids = ids.join(prior, "doc_id", "left_anti")
+    # Broadcast only when the delete set is actually small: a mass delete
+    # (dropping a whole source) force-broadcast would OOM the driver. The
+    # count is one tiny job; above the threshold we leave the join strategy
+    # to AQE (shuffle join with runtime broadcast downgrade if it shrinks).
+    n_ids = ids.count()
+    if n_ids == 0:
+        return 0
+    ids_j = F.broadcast(ids) if n_ids <= 2_000_000 else ids
 
     runs = _all_runs(spark, root, m)
     # per-term df deltas come from runs; the doc count + dl sum come from
     # doclens (a zero-token doc has NO runs rows but still counts toward N)
-    hit = runs.join(F.broadcast(ids), "doc_id")
+    hit = runs.join(ids_j, "doc_id")
     agg = hit.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ddf"))
     docdl = (_all_doclens(spark, root, m)
-             .join(F.broadcast(ids), "doc_id").select("doc_id", "dl"))
+             .join(ids_j, "doc_id").select("doc_id", "dl"))
     stats = docdl.agg(F.count(F.lit(1)).alias("n"),
                       F.sum("dl").cast("long").alias("sdl")).collect()[0]
     n_del, sdl = int(stats.n or 0), int(stats.sdl or 0)
@@ -410,6 +444,12 @@ def compact(spark: SparkSession, root: str, n_shards: int = 4,
     merge_index(spark, seg_dir, n_shards=n_shards, salt_rows=salt_rows,
                 doc_shards=m["doc_shards"] or DEFAULT_DOC_SHARDS)
     meta = json.loads(fsio.read_text(f"{seg_dir}/_INDEX_META.json"))
+    # Record the (possibly just-fixed) doc-shard modulus: a legacy
+    # (pre-doc-shard) root compacted here must come out fully migrated, or
+    # segment_search/delete_docs keep refusing it and a later add_segment
+    # would auto-size a DIFFERENT modulus than the compacted segment's
+    # stored salts (silently wrong cogroup keys).
+    m["doc_shards"] = int(meta["doc_shards"])
     m["segments"] = [{"name": seg, "n_docs": meta["n_docs"],
                       "avgdl": meta["avgdl"], "sum_dl": meta.get("sum_dl"),
                       "doc_base": 0, "ts": int(time.time())}]

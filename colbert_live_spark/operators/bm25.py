@@ -115,15 +115,18 @@ def score_queries(
 
     Join order is scale-shaped: postings (huge) ⋈ broadcast(qterms, tiny)
     prunes to matching terms first, then ⋈ broadcast(term idf) and
-    ⋈ doc lengths. At sandbox scale doc lengths broadcast too; on a real
-    corpus dl rides inside the compressed index (see index/builder.py) so no
-    big-big join exists on the serving path.
+    ⋈ doc lengths. The dl join carries NO broadcast hint: dstats is one row
+    per document (corpus-cardinality), so a forced broadcast is an OOM at
+    scale — AQE converts the shuffle join to broadcast at runtime when the
+    matched side is actually small. On a real corpus dl rides inside the
+    compressed index (see index/builder.py) so no big-big join exists on
+    the serving path at all.
     """
     cstats = corpus_stats(dstats)
     tstats = term_stats(post, cstats.select("n_docs"))
     matched = (post.join(F.broadcast(qterms), "term")
                    .join(F.broadcast(tstats.select("term", "idf")), "term")
-                   .join(dstats.hint("broadcast"), "doc_id")
+                   .join(dstats, "doc_id")
                    .crossJoin(F.broadcast(cstats.select("avgdl"))))
     contrib = matched.select(
         "query_id", "doc_id", "n_terms",

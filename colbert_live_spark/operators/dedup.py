@@ -32,6 +32,23 @@ def _h60(col, salt=None):
     return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
 
 
+# All-pairs baselines refuse above this many input rows unless force=True:
+# they exist as small-scale oracles/verifiers, and silently pointing one at
+# a big table turns a labelled baseline into a quadratic job.
+ALL_PAIRS_MAX_ROWS = 100_000
+
+
+def _guard_all_pairs(df: DataFrame, op: str, force: bool) -> None:
+    if force:
+        return
+    n = df.limit(ALL_PAIRS_MAX_ROWS + 1).count()
+    if n > ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{op}: input has >{ALL_PAIRS_MAX_ROWS} rows — this is the "
+            "quadratic small-scale baseline. Use the LSH/banded variant "
+            f"at scale, or pass force=True to run it anyway.")
+
+
 def exact_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(keep_doc_id, dup_doc_id) — exact duplicates by text hash; the
@@ -85,12 +102,17 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        force: bool = False) -> DataFrame:
     """(doc_a, doc_b, jaccard) exact n-gram Jaccard ≥ threshold, a < b.
 
     Quadratic inside a shingle bucket — at scale pass ``max_shingle_df`` to
     bound buckets, or use :func:`minhash_lsh_pairs` (candidates via banding,
-    exact verify only on candidates)."""
+    exact verify only on candidates). The UNCAPPED form refuses large
+    inputs (``ALL_PAIRS_MAX_ROWS``) unless ``force=True``."""
+    if max_shingle_df is None:
+        _guard_all_pairs(docs, "ngram_jaccard_pairs(max_shingle_df=None)",
+                         force)
     sh = shingles(docs, n, id_col, text_col, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -114,15 +136,27 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text",
                        max_shingle_df: int | None = None) -> DataFrame:
-    """(doc_id, perm, minhash) — one row per permutation; portable hashes."""
+    """(doc_id, perm, minhash) — one row per permutation; portable hashes.
+
+    Fused single-pass form: all ``n_hashes`` permutation hashes are computed
+    as columns of ONE row per shingle and min-aggregated together, so the
+    signature shuffle moves one ~n_hashes·8-byte row per (doc, shingle)
+    partial — not an n_hashes× exploded copy of the shingle stream (the
+    map-side combine then collapses it to one row per doc per partition).
+    Hash bytes are identical to the unfused form (md5 of "{perm}:{shingle}"),
+    so the DuckDB oracle is unchanged."""
     sh = shingles(docs, n, id_col, text_col, max_shingle_df)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("perm")
-    expanded = sh.select("doc_id", "shingle", perms)
-    return (expanded
-            .select("doc_id", "perm",
-                    _h60(F.concat(F.col("perm").cast("string"), F.lit(":"),
-                                  F.col("shingle"))).alias("h"))
-            .groupBy("doc_id", "perm").agg(F.min("h").alias("minhash")))
+    mins = (sh.select("doc_id",
+                      *[_h60(F.col("shingle"), salt=str(p)).alias(f"h{p}")
+                        for p in range(n_hashes)])
+            .groupBy("doc_id")
+            .agg(*[F.min(f"h{p}").alias(f"h{p}") for p in range(n_hashes)]))
+    pm = F.explode(F.array(*[
+        F.struct(F.lit(p).alias("perm"), F.col(f"h{p}").alias("minhash"))
+        for p in range(n_hashes)])).alias("pm")
+    return (mins.select("doc_id", pm)
+            .select("doc_id", F.col("pm.perm").alias("perm"),
+                    F.col("pm.minhash").alias("minhash")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
@@ -294,12 +328,15 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            force: bool = False) -> DataFrame:
     """(id_a, id_b, cos) — exact cosine near-dup pairs. JVM-side dot/norm
     via zip_with + aggregate (no Python). The all-pairs exact form is the
-    small-scale oracle/verifier ONLY; the scale path is
+    small-scale oracle/verifier ONLY — it refuses large inputs
+    (``ALL_PAIRS_MAX_ROWS``) unless ``force=True``; the scale path is
     :func:`embedding_lsh_pairs` (banded candidates, exact verify on
     candidates)."""
+    _guard_all_pairs(emb, "embedding_neardup_pairs", force)
     v = emb.select(F.col(id_col).alias("id"),
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("v"))

@@ -73,12 +73,31 @@ def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
                  .alias("centroid_id")))
 
 
+def _portable_id_hash(col):
+    """Engine-portable 60-bit hash of an integer id (md5-hex prefix) —
+    shared by the Spark plan and the DuckDB oracle for deterministic
+    sampling."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
 def kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int = 2,
                      round_dp: int = 9, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     train_sample: int | None = None) -> DataFrame:
     """(centroid_id, cv, cn): fixed-iteration Lloyd k-means with
-    deterministic seeding (the n_centroids lowest-id vectors) and
-    per-iteration centroid rounding to ``round_dp`` decimals.
+    deterministic seeding (the n_centroids lowest-id vectors of the
+    training set) and per-iteration centroid rounding to ``round_dp``
+    decimals.
+
+    ``train_sample``: train on the ``train_sample`` lowest-hash vectors
+    instead of the full corpus — the 100 TB shape: Lloyd iterations over
+    10^12 rows per iteration are wasted work (centroid quality converges on
+    a sample); assignment of the FULL corpus still happens once, outside
+    this function. The sample is deterministic (portable md5-hash order,
+    id tie-break) so the DuckDB oracle reproduces it exactly; the top-S
+    selection is a TakeOrdered (per-partition bounded heap + driver merge),
+    not a global sort.
 
     The rounding is load-bearing for oracle checkability: element-wise means
     are float sums whose order differs between engines; rounding the means
@@ -86,11 +105,15 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int = 2,
     so assignments — and hence the final index — match exactly. Clusters
     that lose all members simply drop out (both engines agree)."""
     base = _with_norm(emb, id_col, vec_col)
-    cents = base.orderBy("id").limit(n_centroids).select(
+    train = base
+    if train_sample is not None:
+        train = (base.withColumn("hh", _portable_id_hash(F.col("id")))
+                 .orderBy("hh", "id").limit(train_sample).drop("hh"))
+    cents = train.orderBy("id").limit(n_centroids).select(
         F.col("id").alias("centroid_id"), F.col("v").alias("cv"),
         F.col("n").alias("cn"))
     for _ in range(iters):
-        assigned = _assign(base, cents)
+        assigned = _assign(train, cents)
         means = (assigned.select("centroid_id", F.posexplode("v")
                                  .alias("pos", "val"))
                  .groupBy("centroid_id", "pos")
@@ -105,25 +128,32 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int = 2,
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int, id_col: str = "vec_id",
-               vec_col: str = "embedding", kmeans_iters: int = 2) -> DataFrame:
+               vec_col: str = "embedding", kmeans_iters: int = 2,
+               train_sample: int | None = None) -> DataFrame:
     """(id, v, n, centroid_id): assign each vector to its nearest k-means
     centroid."""
     base = _with_norm(emb, id_col, vec_col)
     cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
-                             id_col=id_col, vec_col=vec_col)
+                             id_col=id_col, vec_col=vec_col,
+                             train_sample=train_sample)
     return _assign(base, cents)
 
 
 def knn_ivf(emb: DataFrame, query_ids: list[int], k: int = 10,
             n_centroids: int = 16, nprobe: int = 4,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            kmeans_iters: int = 2) -> DataFrame:
+            kmeans_iters: int = 2,
+            train_sample: int | None = None) -> DataFrame:
     """(query_id, rank, vec_id, cos) IVF-approximate top-k: probe the
     nprobe nearest centroid lists only (cost O(Q·N·nprobe/C) instead of
-    O(Q·N)); centroids from deterministic fixed-iteration k-means."""
+    O(Q·N)); centroids from deterministic fixed-iteration k-means.
+    ``train_sample`` trains the centroids on a deterministic sample (the
+    web-scale shape — see :func:`kmeans_centroids`); the full corpus is
+    still assigned and probed."""
     base = _with_norm(emb, id_col, vec_col)
     cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
-                             id_col=id_col, vec_col=vec_col)
+                             id_col=id_col, vec_col=vec_col,
+                             train_sample=train_sample)
     assigned = _assign(base, cents)
     q = base.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),

@@ -564,26 +564,34 @@ def merge_topk(partial: DataFrame, k: int) -> DataFrame:
 
 # ------------------------------------------------- low-latency local serving
 
-_DICT_CACHE: dict[str, tuple[dict, float]] = {}
+_DICT_CACHE: dict[str, tuple[str, dict, float]] = {}
 
 
 def _local_dict(index_dir: str) -> tuple[dict, float]:
     """(term -> (term_id, idf), avgdl), cached per index dir. At sandbox
     scale the dictionary is vocab-sized and fits the driver; at web scale
     this cache would hold only the hot-term working set (same interface —
-    a miss falls back to a filtered parquet read)."""
+    a miss falls back to a filtered parquet read).
+
+    The cache is validated against the index's ``_INDEX_META.json`` content
+    on every lookup (one tiny file read): if the index at this path was
+    rebuilt by a long-lived serving process, term_ids may have been
+    reassigned, and applying a stale dictionary to freshly-read postings
+    would silently mis-score. Identical meta content implies the same
+    deterministic build inputs, hence the same dictionary."""
+    from colbert_live_spark.index import fsio
+    meta_text = fsio.read_text(f"{index_dir}/_INDEX_META.json")
     hit = _DICT_CACHE.get(index_dir)
-    if hit is None:
-        from colbert_live_spark.index import fsio
-        t = fsio.read_parquet_table(f"{index_dir}/dict",
-                                    columns=["term", "term_id", "idf"])
-        d = {term: (int(tid), float(idf)) for term, tid, idf in
-             zip(t.column("term").to_pylist(), t.column("term_id").to_pylist(),
-                 t.column("idf").to_pylist())}
-        meta = json.loads(fsio.read_text(f"{index_dir}/_INDEX_META.json"))
-        hit = (d, float(meta["avgdl"]))
-        _DICT_CACHE[index_dir] = hit
-    return hit
+    if hit is not None and hit[0] == meta_text:
+        return hit[1], hit[2]
+    t = fsio.read_parquet_table(f"{index_dir}/dict",
+                                columns=["term", "term_id", "idf"])
+    d = {term: (int(tid), float(idf)) for term, tid, idf in
+         zip(t.column("term").to_pylist(), t.column("term_id").to_pylist(),
+             t.column("idf").to_pylist())}
+    meta = json.loads(meta_text)
+    _DICT_CACHE[index_dir] = (meta_text, d, float(meta["avgdl"]))
+    return d, float(meta["avgdl"])
 
 
 def wand_search_local(

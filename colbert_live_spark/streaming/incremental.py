@@ -33,17 +33,24 @@ def ingest_stream(
     available_now: bool = True,
 ):
     """Start (and by default drain) a file-source stream into segments.
-    Returns the StreamingQuery (already awaited if available_now)."""
+    Returns the StreamingQuery (already awaited if available_now).
+
+    The idempotence token is namespaced by the checkpoint location, so two
+    streams with separate checkpoints writing one root don't swallow each
+    other's batch 0/1/2… as replays; a restarted stream that *discards* its
+    checkpoint must also use a new checkpoint path (same rule as any
+    Structured Streaming sink)."""
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger or 1)
               .parquet(input_path))
+    stream_id = checkpoint.rstrip("/")
 
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         # batch_id makes replayed micro-batches no-ops (idempotent sink)
         add_segment(spark, batch_df, root, id_col=id_col, text_col=text_col,
-                    batch_id=batch_id)
+                    batch_id=batch_id, stream_id=stream_id)
 
     writer = (reader.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint))
