@@ -24,6 +24,10 @@ KNN_K = 10
 IVF_C, IVF_PROBE, KMEANS_ITERS = 16, 4, 2
 IVF_TRAIN_SAMPLE = 200  # deterministic lowest-hash training sample (the
 # 10^12-vector shape: Lloyd never iterates over the full corpus)
+MAXSIM_T = 4            # token vectors per document (multi-vector model)
+MAXSIM_QUERIES = [0, 1, 2, 3, 4]  # query DOC ids (each = T token vectors)
+MAXSIM_K = 10
+MAXSIM_NANN = 20        # per-token ANN candidate cut (reference n_ann_docs)
 
 
 def _docs(spark, sf_dir):
@@ -125,6 +129,31 @@ def q_knn_ivf_sampled(spark, sf_dir):
                                n_centroids=IVF_C, nprobe=IVF_PROBE,
                                train_sample=IVF_TRAIN_SAMPLE)
             .withColumn("cos", F.round("cos", ROUND)))
+
+
+def q_maxsim_topk(spark, sf_dir):
+    """THE reference query shape (`colbert_live/colbert_live.py:177-208`,
+    einsum `models.py:45-65`): multi-vector (late-interaction) retrieval —
+    each doc is a SET of token vectors (consecutive runs of MAXSIM_T
+    vec_ids), each query likewise; score = Σ over query tokens of max over
+    doc tokens of cosine. Exact over all docs (the correctness baseline,
+    analog of the reference's brute-force oracle `tests/db.py:29-39`)."""
+    return (similarity.maxsim_topk(_emb(spark, sf_dir), MAXSIM_QUERIES,
+                                   MAXSIM_K, tokens_per_doc=MAXSIM_T)
+            .withColumn("score", F.round("score", ROUND)))
+
+
+def q_maxsim_topk_ivf(spark, sf_dir):
+    """The reference's full serving loop, scale-shaped: per query-token IVF
+    probe → top-n_ann vector hits per token (C1/C5) → candidate-doc union
+    (C4) → gather candidate docs' token vectors (R1/J5) → exact MaxSim
+    rescore (R3) → top-k (R4). Rescore cost is independent of corpus size
+    (≤ T·n_ann candidate docs per query)."""
+    return (similarity.maxsim_topk_ivf(
+        _emb(spark, sf_dir), MAXSIM_QUERIES, MAXSIM_K,
+        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C, nprobe=IVF_PROBE,
+        n_ann=MAXSIM_NANN, train_sample=IVF_TRAIN_SAMPLE)
+            .withColumn("score", F.round("score", ROUND)))
 
 
 # ------------------------------------------------------------ multimodal
@@ -300,18 +329,21 @@ WHERE {cos_ab} >= {NEARDUP_COS}
 """
 
 
-def _ivf_sql(train_sample: int | None = None) -> str:
-    """Fixed-iteration k-means IVF oracle, unrolled: a{i} = assignment under
-    cents{i}; cents{i+1} = element-wise means rounded to 9dp (matches the
-    Spark side's per-iteration rounding — similarity.kmeans_centroids).
+def _sqlcos(e1, e2):
+    return (f"list_dot_product({e1}, {e2}) / "
+            f"(sqrt(list_dot_product({e1}, {e1}))"
+            f" * sqrt(list_dot_product({e2}, {e2})))")
+
+
+def _km_chain(train_sample: int | None = None) -> tuple[str, str]:
+    """(CTE chain string ending with `assigned`, final-centroid CTE name):
+    fixed-iteration k-means, unrolled — a{i} = assignment under cents{i};
+    cents{i+1} = element-wise means rounded to 9dp (matches the Spark
+    side's per-iteration rounding — similarity.kmeans_centroids).
     ``train_sample``: Lloyd runs over the lowest-hash sample relation
     (portable md5 order, vec_id tie-break — identical to the Spark plan's
     deterministic sample); full-corpus assignment is unchanged."""
-    def cos(e1, e2):
-        return (f"list_dot_product({e1}, {e2}) / "
-                f"(sqrt(list_dot_product({e1}, {e1}))"
-                f" * sqrt(list_dot_product({e2}, {e2})))")
-
+    cos = _sqlcos
     pre = ""
     tr = "vecs"
     if train_sample is not None:
@@ -345,9 +377,7 @@ def _ivf_sql(train_sample: int | None = None) -> str:
   GROUP BY centroid_id
 )""")
     cents_final = f"cents{KMEANS_ITERS}"
-    return f"""
-WITH {_VECS},
-{pre}{",".join(km)},
+    chain = f"""{pre}{",".join(km)},
 assigned AS (
   SELECT vec_id, e, centroid_id FROM (
     SELECT v.vec_id, v.e, c.centroid_id,
@@ -355,7 +385,16 @@ assigned AS (
                               ORDER BY {cos("v.e", "c.cv")} DESC,
                                        c.centroid_id ASC) AS r
     FROM vecs v CROSS JOIN {cents_final} c) WHERE r = 1
-),
+)"""
+    return chain, cents_final
+
+
+def _ivf_sql(train_sample: int | None = None) -> str:
+    cos = _sqlcos
+    chain, cents_final = _km_chain(train_sample)
+    return f"""
+WITH {_VECS},
+{chain},
 q AS (SELECT vec_id AS query_id, e AS qe FROM vecs
       WHERE vec_id IN ({", ".join(map(str, KNN_QUERIES))})),
 qprobe AS (
@@ -381,6 +420,92 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, vec_id, round(cos, {ROUND}) AS cos
 FROM ranked WHERE rank <= {KNN_K}
 """
+
+
+_MAXSIM_DV = f"""
+dv AS (
+  SELECT vec_id, vec_id // {MAXSIM_T} AS doc_id,
+         (vec_id % {MAXSIM_T})::INT AS tpos, e
+  FROM vecs
+),
+q AS (
+  SELECT doc_id AS query_id, tpos AS qtpos, e AS qe FROM dv
+  WHERE doc_id IN ({", ".join(map(str, MAXSIM_QUERIES))})
+)"""
+
+# pivoted per-token maxes + explicit left-to-right sum: max is order-free
+# selection and the T-term addition is written out, so float summation
+# order matches the Spark plan exactly (engine-independent hashes)
+_MAXSIM_TAIL = f"""
+pm AS (
+  SELECT query_id, doc_id,
+         {", ".join(f"max(CASE WHEN qtpos = {t} THEN c END) AS m{t}"
+                    for t in range(MAXSIM_T))}
+  FROM per_tok GROUP BY query_id, doc_id
+),
+scored AS (
+  SELECT query_id, doc_id,
+         {" + ".join(f"coalesce(m{t}, 0.0)" for t in range(MAXSIM_T))}
+           AS score
+  FROM pm
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, {ROUND}) AS score
+FROM ranked WHERE rank <= {MAXSIM_K}
+"""
+
+
+def _maxsim_sql() -> str:
+    return f"""
+WITH {_VECS},
+{_MAXSIM_DV},
+per_tok AS (
+  SELECT q.query_id, d.doc_id, q.qtpos, {_sqlcos("q.qe", "d.e")} AS c
+  FROM dv d CROSS JOIN q WHERE d.doc_id != q.query_id
+),
+{_MAXSIM_TAIL}"""
+
+
+def _maxsim_ivf_sql() -> str:
+    cos = _sqlcos
+    chain, cents_final = _km_chain(IVF_TRAIN_SAMPLE)
+    return f"""
+WITH {_VECS},
+{chain},
+{_MAXSIM_DV},
+qprobe AS (
+  SELECT query_id, qtpos, qe, centroid_id FROM (
+    SELECT q.query_id, q.qtpos, q.qe, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id, q.qtpos
+                              ORDER BY {cos("q.qe", "c.cv")} DESC,
+                                       c.centroid_id ASC) AS r
+    FROM q CROSS JOIN {cents_final} c) WHERE r <= {IVF_PROBE}
+),
+tok_hits AS (
+  SELECT p.query_id, p.qtpos, a.vec_id,
+         (a.vec_id // {MAXSIM_T}) AS cdoc, {cos("p.qe", "a.e")} AS c
+  FROM assigned a JOIN qprobe p ON a.centroid_id = p.centroid_id
+  WHERE (a.vec_id // {MAXSIM_T}) != p.query_id
+),
+cand AS (
+  SELECT DISTINCT query_id, cdoc AS doc_id FROM (
+    SELECT query_id, cdoc,
+           row_number() OVER (PARTITION BY query_id, qtpos
+                              ORDER BY c DESC, vec_id ASC) AS r
+    FROM tok_hits) WHERE r <= {MAXSIM_NANN}
+),
+per_tok AS (
+  SELECT cd.query_id, cd.doc_id, q.qtpos, {cos("q.qe", "d.e")} AS c
+  FROM cand cd
+  JOIN dv d ON d.doc_id = cd.doc_id
+  JOIN q ON q.query_id = cd.query_id
+),
+{_MAXSIM_TAIL}"""
 
 
 def oracle_map() -> dict[str, str]:
@@ -504,6 +629,8 @@ WHERE {cos_ab} >= {NEARDUP_COS}
         "knn_bruteforce": knn_body,
         "knn_ivf": ivf_body,
         "knn_ivf_sampled": ivf_sampled_body,
+        "maxsim_topk": _maxsim_sql(),
+        "maxsim_topk_ivf": _maxsim_ivf_sql(),
         "text_stats": f"""
 SELECT doc_id,
        {ts.sql_token_count('text')}::INT AS n_tokens,
@@ -556,6 +683,8 @@ def query_map():
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_sampled": q_knn_ivf_sampled,
+        "maxsim_topk": q_maxsim_topk,
+        "maxsim_topk_ivf": q_maxsim_topk_ivf,
         "media_histogram": q_media_histogram,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,

@@ -127,6 +127,128 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int = 2,
     return cents
 
 
+def _doc_vecs(emb: DataFrame, tokens_per_doc: int, id_col: str,
+              vec_col: str) -> DataFrame:
+    """(doc_id, tpos, v, n): the multi-vector document model — consecutive
+    runs of ``tokens_per_doc`` vec_ids form one document's token-embedding
+    set (the reference's one-row-per-token-embedding table,
+    `example/cmdline/db.py:38-47`)."""
+    base = _with_norm(emb, id_col, vec_col)
+    return base.select(
+        F.floor(F.col("id") / tokens_per_doc).cast("long").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(tokens_per_doc)).cast("int").alias("tpos"),
+        "v", "n")
+
+
+def _maxsim_score(per_tok: DataFrame, tokens_per_doc: int) -> DataFrame:
+    """(query_id, doc_id, score): exact MaxSim from per-(query-token, doc,
+    doc-token) cosines — max over doc tokens per query token (order-free
+    selection), then an EXPLICIT left-to-right sum over the fixed T query
+    tokens, so float summation order is engine-independent (the same
+    discipline as the WAND scorer's driver-fixed term order)."""
+    pm = (per_tok.groupBy("query_id", "doc_id")
+          .agg(*[F.max(F.when(F.col("qtpos") == t, F.col("c")))
+                 .alias(f"m{t}") for t in range(tokens_per_doc)]))
+    score = F.coalesce(F.col("m0"), F.lit(0.0))
+    for t in range(1, tokens_per_doc):
+        score = score + F.coalesce(F.col(f"m{t}"), F.lit(0.0))
+    return pm.select("query_id", "doc_id", score.alias("score"))
+
+
+def maxsim_topk(emb: DataFrame, query_doc_ids: list[int], k: int = 10,
+                tokens_per_doc: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(query_id, rank, doc_id, score) exact multi-vector MaxSim top-k —
+    the reference's late-interaction scoring model
+    (`colbert_live/models.py:45-65` einsum max-over-doc-tokens,
+    sum-over-query-tokens) as a DataFrame plan. Scores EVERY doc (the
+    O(Q·N) correctness baseline, the analog of the reference's brute-force
+    oracle `tests/db.py:29-39`); the scale path is
+    :func:`maxsim_topk_ivf`."""
+    dv = _doc_vecs(emb, tokens_per_doc, id_col, vec_col)
+    q = dv.filter(F.col("doc_id").isin(query_doc_ids)).select(
+        F.col("doc_id").alias("query_id"), F.col("tpos").alias("qtpos"),
+        F.col("v").alias("qv"), F.col("n").alias("qn"))
+    per_tok = (dv.crossJoin(F.broadcast(q))
+               .filter(F.col("doc_id") != F.col("query_id"))
+               .select("query_id", "doc_id", "qtpos",
+                       (_dot(F.col("qv"), F.col("v"))
+                        / (F.col("qn") * F.col("n"))).alias("c")))
+    scored = _maxsim_score(per_tok, tokens_per_doc)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def maxsim_topk_ivf(emb: DataFrame, query_doc_ids: list[int], k: int = 10,
+                    tokens_per_doc: int = 4, n_centroids: int = 16,
+                    nprobe: int = 4, n_ann: int = 20,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    kmeans_iters: int = 2,
+                    train_sample: int | None = None) -> DataFrame:
+    """(query_id, rank, doc_id, score): the reference's full serving loop
+    (`colbert_live/colbert_live.py:177-208`) composed Spark-first —
+
+    1. per query-token ANN: probe the nprobe nearest IVF lists, keep the
+       top ``n_ann`` vector hits per token (C1: per-token index probe with
+       a bounded candidate cut, the ``n_ann_docs`` analog);
+    2. candidate union: distinct docs over all token hit-lists (C4's fuse
+       stage, minus rank fusion — MaxSim rescores exactly, so fusion only
+       selects candidates);
+    3. exact MaxSim rescore on candidates only (R3: gather all of a
+       candidate doc's token vectors — the PK semi-join R1 — and score
+       against all query tokens);
+    4. final top-k (R4).
+
+    Cost: O(Q·T·N·nprobe/C) probe + O(Q·T·n_ann·T) rescore — independent
+    of corpus size in the rescore stage, sublinear in the probe; nothing
+    quadratic, nothing corpus-sized ever broadcasts (candidate sets are
+    ≤ T·n_ann per query)."""
+    base = _with_norm(emb, id_col, vec_col)
+    cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
+                             id_col=id_col, vec_col=vec_col,
+                             train_sample=train_sample)
+    assigned = _assign(base, cents)
+    dv = _doc_vecs(emb, tokens_per_doc, id_col, vec_col)
+    q = dv.filter(F.col("doc_id").isin(query_doc_ids)).select(
+        F.col("doc_id").alias("query_id"), F.col("tpos").alias("qtpos"),
+        F.col("v").alias("qv"), F.col("n").alias("qn"))
+    qc = (q.crossJoin(F.broadcast(cents))
+          .select("query_id", "qtpos", "qv", "qn", "centroid_id",
+                  (_dot(F.col("qv"), F.col("cv"))
+                   / (F.col("qn") * F.col("cn"))).alias("cos")))
+    wq = Window.partitionBy("query_id", "qtpos").orderBy(
+        F.desc("cos"), F.asc("centroid_id"))
+    probes = (qc.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select("query_id", "qtpos", "qv", "qn", "centroid_id"))
+    tok_hits = (assigned.join(F.broadcast(probes), "centroid_id")
+                .withColumn("cdoc", F.floor(F.col("id") / tokens_per_doc)
+                            .cast("long"))
+                .filter(F.col("cdoc") != F.col("query_id"))
+                .select("query_id", "qtpos", "id", "cdoc",
+                        (_dot(F.col("qv"), F.col("v"))
+                         / (F.col("qn") * F.col("n"))).alias("c")))
+    wt = Window.partitionBy("query_id", "qtpos").orderBy(
+        F.desc("c"), F.asc("id"))
+    cand = (tok_hits.withColumn("r", F.row_number().over(wt))
+            .filter(F.col("r") <= n_ann)
+            .select("query_id", F.col("cdoc").alias("doc_id")).distinct())
+    per_tok = (cand.join(dv, "doc_id")
+               .join(q, "query_id")
+               .select("query_id", "doc_id", "qtpos",
+                       (_dot(F.col("qv"), F.col("v"))
+                        / (F.col("qn") * F.col("n"))).alias("c")))
+    scored = _maxsim_score(per_tok, tokens_per_doc)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int, id_col: str = "vec_id",
                vec_col: str = "embedding", kmeans_iters: int = 2,
                train_sample: int | None = None) -> DataFrame:
