@@ -1,22 +1,41 @@
 """Benchmark harness — one JSON line on stdout.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Each query is forced with a count()/collect so
-the full plan executes. Scaling-efficiency evidence (N vs 4N cores) lives in
+on local[$SPARK_GRAFT_CPUS]. Each query is forced with a count() so the full
+plan executes. Scaling-efficiency evidence (N vs 4N cores) lives in
 bench_scaling.py → BENCH/BASELINE.md.
+
+Noise discipline (this host shows 3-4x wall-clock noise under neighbor
+load — BENCH/ANALYSIS.md):
+- the compressed index builds into a FRESH mktemp dir every run, so
+  ``index_build`` measures a real build, never a /tmp cache hit;
+- every query runs ``SPARK_GRAFT_BENCH_REPEATS`` (default 3) times,
+  INTERLEAVED round-robin (a noise burst hits one repeat of many queries
+  instead of all repeats of one), and the reported time is the MIN across
+  repeats with the max-min spread alongside — min-of-N is the standard
+  noise-floor estimator for a deterministic workload;
+- the headline total is the sum of per-query minima plus the (single,
+  honest) index build.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # fresh index root: the build below must be a real build every run
+    idx_root = tempfile.mkdtemp(prefix="bench_idx_")
+    os.environ["SPARK_GRAFT_INDEX_ROOT"] = idx_root
+
     from colbert_live_spark.session import get_spark
     from colbert_live_spark import entry_queries as eq
 
@@ -25,6 +44,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
     bench_queries = [
+        "bm25_topk_wand",
         "postings_build",
         "bm25_topk",
         "bm25_conjunctive",
@@ -38,6 +58,9 @@ def main() -> None:
         "simhash_pairs",
         "knn_bruteforce",
         "knn_ivf",
+        "knn_ivf_sampled",
+        "maxsim_topk",
+        "maxsim_topk_ivf",
         "text_stats",
         "fingerprint",
         "embedding_neardup_lsh",
@@ -45,45 +68,58 @@ def main() -> None:
         "media_histogram",
     ]
     qmap = eq.query_map()
-    timings: dict[str, float] = {}
-    total = 0.0
+    bench_queries = [q for q in bench_queries if q in qmap]
 
-    # compressed-index path: build once (its own metric), then serve
+    # compressed-index path: build once into the fresh root (its own
+    # honest metric), then the serving queries repeat against it
     t0 = time.time()
     eq.built_index(spark, sf_dir)
-    timings["index_build"] = round(time.time() - t0, 3)
-    total += timings["index_build"]
-    t0 = time.time()
-    n = qmap["bm25_topk_wand"](spark, sf_dir).count()
-    timings["bm25_topk_wand"] = round(time.time() - t0, 3)
-    total += timings["bm25_topk_wand"]
-    print(f"# index_build: {timings['index_build']}s; "
-          f"bm25_topk_wand: {n} rows in {timings['bm25_topk_wand']}s",
+    index_build = round(time.time() - t0, 3)
+    print(f"# index_build: {index_build}s (fresh dir {idx_root})",
           file=sys.stderr)
 
-    for name in bench_queries:
-        if name not in qmap:
-            continue
-        t0 = time.time()
-        df = qmap[name](spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+    samples: dict[str, list[float]] = {q: [] for q in bench_queries}
+    rows_seen: dict[str, int] = {}
+    for rep in range(n_repeats):
+        for name in bench_queries:
+            t0 = time.time()
+            n = qmap[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            samples[name].append(dt)
+            rows_seen[name] = n
+            print(f"# [{rep + 1}/{n_repeats}] {name}: {n} rows "
+                  f"in {dt:.3f}s", file=sys.stderr)
 
-    # IVF quality: recall@10 vs brute force (approximation quality of the
-    # deterministic k-means IVF path, reported alongside its speed)
-    def topk_sets(name):
+    timings = {"index_build": index_build}
+    spread: dict[str, float] = {}
+    total = index_build
+    for name in bench_queries:
+        s = samples[name]
+        timings[name] = round(min(s), 3)
+        spread[name] = round(max(s) - min(s), 3)
+        total += min(s)
+
+    # approximation quality, reported alongside speed: recall@10 of each
+    # ANN path vs its exact counterpart
+    def topk_sets(name, id_field):
         out = {}
         for r in qmap[name](spark, sf_dir).collect():
-            out.setdefault(r.query_id, set()).add(r.vec_id)
+            out.setdefault(r.query_id, set()).add(getattr(r, id_field))
         return out
-    brute, ivf = topk_sets("knn_bruteforce"), topk_sets("knn_ivf")
-    recalls = [len(brute[q] & ivf.get(q, set())) / len(brute[q])
-               for q in brute if brute[q]]
-    recall10 = round(sum(recalls) / len(recalls), 4) if recalls else None
-    print(f"# knn_ivf recall@10 vs brute force: {recall10}", file=sys.stderr)
+
+    def recall(approx_name, exact_name, id_field):
+        exact = topk_sets(exact_name, id_field)
+        approx = topk_sets(approx_name, id_field)
+        rs = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+              for q in exact if exact[q]]
+        return round(sum(rs) / len(rs), 4) if rs else None
+
+    recall10 = recall("knn_ivf", "knn_bruteforce", "vec_id")
+    recall10_sampled = recall("knn_ivf_sampled", "knn_bruteforce", "vec_id")
+    maxsim_recall10 = recall("maxsim_topk_ivf", "maxsim_topk", "doc_id")
+    print(f"# recall@10 vs exact: knn_ivf={recall10} "
+          f"knn_ivf_sampled={recall10_sampled} "
+          f"maxsim_ivf={maxsim_recall10}", file=sys.stderr)
 
     # low-latency local serving mode p50 (zero Spark jobs; see wand.py)
     from colbert_live_spark.operators.wand import wand_search_local
@@ -104,11 +140,16 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "repeats": n_repeats,
         "knn_ivf_recall_at_10": recall10,
+        "knn_ivf_sampled_recall_at_10": recall10_sampled,
+        "maxsim_ivf_recall_at_10": maxsim_recall10,
         "local_query_p50_s": local_p50,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
+    shutil.rmtree(idx_root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -279,14 +279,20 @@ _INDEX_CACHE: dict[str, str] = {}
 
 def built_index(spark, sf_dir: str) -> str:
     """Build (once per sf_dir per process) the compressed term-sharded index
-    for the documents corpus under /tmp; returns the index dir."""
+    for the documents corpus under /tmp; returns the index dir.
+
+    ``SPARK_GRAFT_INDEX_ROOT``: when set, indexes build under that directory
+    instead of the shared /tmp location. bench.py sets it to a fresh mktemp
+    dir so the build is really measured every run (the shared /tmp cache
+    once turned the bench's index_build metric into a 0.0s no-op)."""
     if sf_dir not in _INDEX_CACHE:
         import hashlib
         import os
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         # v2: doc-sharded layout (salt = global doc shard) — the version tag
         # keeps stale round-1 layouts from being reused across processes
-        out = f"/tmp/cls_index_v2_{tag}"
+        root = os.environ.get("SPARK_GRAFT_INDEX_ROOT", "/tmp")
+        out = f"{root}/cls_index_v2_{tag}"
         if not os.path.exists(f"{out}/_INDEX_META.json"):
             from colbert_live_spark.index.builder import build_index
             docs = _docs(spark, sf_dir)
