@@ -292,7 +292,7 @@ def built_index(spark, sf_dir: str) -> str:
         # v2: doc-sharded layout (salt = global doc shard) — the version tag
         # keeps stale round-1 layouts from being reused across processes
         root = os.environ.get("SPARK_GRAFT_INDEX_ROOT", "/tmp")
-        out = f"{root}/cls_index_v2_{tag}"
+        out = f"{root}/cls_index_v3_{tag}"
         if not os.path.exists(f"{out}/_INDEX_META.json"):
             from colbert_live_spark.index.builder import build_index
             docs = _docs(spark, sf_dir)
@@ -359,7 +359,7 @@ def built_deleted_root(spark, sf_dir: str) -> str:
     import hashlib
     import os
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = f"/tmp/cls_segdel_v2_{tag}"
+    root = f"/tmp/cls_segdel_v3_{tag}"
     ready = f"{root}/_READY"
     if not os.path.exists(ready):
         # sentinel-guarded: a process killed mid-setup must not leave a
@@ -382,7 +382,7 @@ def built_live_root(spark, sf_dir: str) -> str:
     import hashlib
     import os
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = f"/tmp/cls_seglive_v2_{tag}"
+    root = f"/tmp/cls_seglive_v3_{tag}"
     ready = f"{root}/_READY"
     if not os.path.exists(ready):
         import shutil
@@ -436,7 +436,7 @@ def built_compacted_root(spark, sf_dir: str) -> str:
     import hashlib
     import os
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = f"/tmp/cls_segcomp_v2_{tag}"
+    root = f"/tmp/cls_segcomp_v3_{tag}"
     ready = f"{root}/_READY"
     if not os.path.exists(ready):
         import shutil

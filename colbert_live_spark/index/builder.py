@@ -284,12 +284,16 @@ def merge_index(
         "term", "term_id", "df",
         F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
               / (F.col("df") + 0.5)).alias("idf"))
-    # few files (query-time dictionary point-lookups pay per-file overhead).
+    # few files (query-time dictionary point-lookups pay per-file overhead),
+    # term-sorted WITHIN each file so the driver-side pyarrow lookup prunes
+    # to the row groups containing the queried terms (at web scale the
+    # dictionary is ~10^8 rows; the lookup must not read all of it).
     # MUST be repartition, not coalesce: coalesce fuses into the id-assign
     # mapInPandas stage and changes TaskContext.partitionId() under it,
     # corrupting the dense-id offsets; repartition is a shuffle barrier.
-    dict_df.repartition(max(2, n_shards // 8)).write.mode(
-        "overwrite").parquet(f"{out_dir}/dict")
+    (dict_df.repartition(max(2, n_shards // 8))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(f"{out_dir}/dict"))
     # NOT re-read from disk: assign_dense_ids keeps its input persisted, so
     # reuse stays deterministic and we skip a read-back job
 
@@ -307,9 +311,16 @@ def merge_index(
                        .cast("int").alias("salt"),
                       "doc_id", "tf", "dl"))
     # hash repartition, not repartitionByRange: the range sampler would scan
-    # the whole join twice; hash keeps each (term_id, salt) group whole and
-    # the salt bound keeps groups balanced under Zipf skew
-    parted = (tagged.repartition(n_shards, "term_id", "salt")
+    # the whole join twice. Partitioning by SALT ALONE (layout salt_v3, one
+    # output file per doc shard) makes every output file a complete
+    # mini-index of its doc subset — serving then assigns one task per
+    # FILE, each reading its own blocks directly (term_id predicate pushed
+    # to parquet row-group pruning) with NO shuffle of block bytes
+    # (operators/wand.py fast path). Partition volume stays balanced under
+    # Zipf skew because hash(doc_id) spreads every term's postings
+    # uniformly across the doc_shards salts; the per-(term,salt) group
+    # bound (≤ salt_rows) is unchanged.
+    parted = (tagged.repartition(doc_shards, "salt")
                     .sortWithinPartitions("term_id", "salt", "doc_id"))
 
     def encode_partition(it):
@@ -353,7 +364,17 @@ def merge_index(
             yield flushed
 
     blocks_df = parted.mapInPandas(encode_partition, schema=BLOCK_SCHEMA)
-    blocks_df.write.mode("overwrite").parquet(f"{out_dir}/postings")
+    # partitionBy(salt): EXACTLY one file per doc shard (each shuffle
+    # partition holds whole salts, so each salt is written by exactly one
+    # task into its own salt=<s>/ directory). The serving file-tasks then
+    # get D equal-volume units of work — hash occupancy of D salts into D
+    # hash partitions would otherwise leave ~1/e of files empty-sized and
+    # some with 2-3 salts (measured max/mean 1.69 at 1M docs → straggler
+    # tail at high core counts). Readers: Spark partition discovery
+    # restores the salt column for the cogroup path; the pyarrow file
+    # tasks don't need it (scoring is salt-oblivious within a file).
+    blocks_df.write.partitionBy("salt").mode("overwrite").parquet(
+        f"{out_dir}/postings")
 
     n_blocks = _parquet_rows(f"{out_dir}/postings")
     _append_ledger(spark, out_dir, (
@@ -364,7 +385,10 @@ def merge_index(
         json.dumps({"n_shards": n_shards, "salt_rows": salt_rows,
                     "block_size": block_size, "n_docs": int(n_docs),
                     "avgdl": avgdl, "sum_dl": sum_dl,
-                    "doc_shards": int(doc_shards)}))
+                    "doc_shards": int(doc_shards),
+                    # every doc shard's blocks live wholly in one postings
+                    # file → the shuffle-free file-task serving path applies
+                    "layout": "salt_v3"}))
     # release the dense-id persist (it leaked one cached DataFrame per
     # merge_index call — one per segment / streaming micro-batch)
     cached = getattr(raw_dict, "_cls_persisted", None)

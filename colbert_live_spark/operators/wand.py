@@ -301,12 +301,29 @@ def matched_query_terms(spark: SparkSession, index_dir: str,
 
 def _matched_terms(spark, index_dir, queries) -> dict:
     """term -> (term_id, idf) for every query term present in the
-    dictionary — one term-pruned Spark scan."""
+    dictionary — a DRIVER-SIDE pyarrow point-lookup, zero Spark jobs.
+
+    A Spark job here was ~0.5-1 s of fixed per-batch overhead that does not
+    parallelize (it is the same at 2 and at 8 cores), directly eating
+    scaling efficiency. The dictionary files are term-sorted, so the isin
+    predicate prunes to the row groups containing the queried terms — the
+    read is O(matched row groups), not O(vocabulary), which is what keeps
+    this driver-side lookup viable at a 10^8-term web vocabulary (the same
+    access path a dedicated serving tier would use)."""
+    import pyarrow.dataset as pads
+
+    from colbert_live_spark.index import fsio
     all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
-    return {r.term: (r.term_id, float(r.idf)) for r in
-            (spark.read.parquet(f"{index_dir}/dict")
-             .filter(F.col("term").isin(all_terms))
-             .select("term", "term_id", "idf").collect())}
+    if not all_terms:
+        return {}
+    fs, p = fsio.resolve(f"{index_dir}/dict")
+    t = (pads.dataset(p, format="parquet", filesystem=fs)
+         .to_table(filter=pads.field("term").isin(all_terms),
+                   columns=["term", "term_id", "idf"]))
+    return {term: (int(tid), float(idf)) for term, tid, idf in
+            zip(t.column("term").to_pylist(),
+                t.column("term_id").to_pylist(),
+                t.column("idf").to_pylist())}
 
 
 def _matched_query_rows(spark, index_dir, queries):
@@ -667,7 +684,17 @@ def wand_search(
     with the matched blocks, so nothing is ever collected to the driver
     (reference analog: tag filter inside the ANN scan,
     `example/cmdline/db.py:82-88`; corpus statistics stay GLOBAL, matching
-    the reference's semantics)."""
+    the reference's semantics).
+
+    Topology: on a ``salt_v3`` index (every doc shard's blocks wholly
+    inside one postings file) the unfiltered path runs ONE TASK PER FILE —
+    each task pyarrow-reads its own file with the term_id predicate pushed
+    to row-group pruning, scores all queries, and emits ≤ k candidates per
+    query. No shuffle of block bytes ever happens (the old topology
+    shuffled every matched block to group by shard — hundreds of MB of
+    one-bus traffic that did not scale with cores). The filtered path
+    keeps the cogroup-by-shard shuffle (filter ids must meet their shard's
+    blocks somewhere)."""
     from colbert_live_spark.index import fsio
     meta = json.loads(fsio.read_text(f"{index_dir}/_INDEX_META.json"))
     avgdl = float(meta["avgdl"])
@@ -683,6 +710,35 @@ def wand_search(
         return spark.createDataFrame([], OUT_SCHEMA)
     term_ids = sorted({tid for terms in qmeta.values() for tid, _ in terms})
     bc = spark.sparkContext.broadcast((qmeta, nq_map))
+
+    if doc_filter is None and meta.get("layout") == "salt_v3":
+        files = fsio.list_files(f"{index_dir}/postings", ".parquet")
+        if not files:
+            return spark.createDataFrame([], OUT_SCHEMA)
+        # one row per file, one PARTITION per file (parallelize slices the
+        # list evenly) → mapInPandas runs one scoring task per file with no
+        # shuffle anywhere before the tiny D·k-per-query merge
+        fdf = spark.createDataFrame(
+            spark.sparkContext.parallelize([(f,) for f in files],
+                                           len(files)),
+            "path string")
+
+        def run_files(it):
+            import pyarrow.dataset as pads
+            qm, nq = bc.value
+            for pdf in it:
+                for path in pdf["path"]:
+                    fs, p = fsio.resolve(path)
+                    tab = (pads.dataset(p, format="parquet", filesystem=fs)
+                           .to_table(filter=pads.field("term_id")
+                                     .isin(term_ids)))
+                    out = score_shard_queries(tab.to_pandas(), qm, nq,
+                                              avgdl, k, prune, conjunctive)
+                    if len(out):
+                        yield out
+
+        partial = fdf.mapInPandas(run_files, schema=PARTIAL_SCHEMA)
+        return merge_topk(partial, k)
 
     postings = (spark.read.parquet(f"{index_dir}/postings")
                 .filter(F.col("term_id").isin(term_ids)))

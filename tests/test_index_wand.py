@@ -266,3 +266,16 @@ def test_intersection_missing_term_empty():
     # query had 2 distinct terms but only 1 matched the dictionary
     res = intersect_query_blocks(blocks, avgdl=100.0, k=5, n_query_terms=2)
     assert len(res) == 0
+
+
+def test_file_task_path_identical_to_cogroup_path(spark, index_dir,
+                                                  documents):
+    """The salt_v3 shuffle-free file-task topology and the cogroup-by-shard
+    shuffle topology must produce byte-identical results. An all-docs
+    doc_filter forces the cogroup path on the same index."""
+    from pyspark.sql import functions as F
+    all_ids = documents.select("doc_id")
+    fast = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=10))
+    slow = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=10,
+                                doc_filter=all_ids))
+    assert fast == slow

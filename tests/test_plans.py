@@ -54,17 +54,37 @@ def test_no_row_python_in_all_entry_queries(spark):
 
 
 def test_wand_search_plan(spark):
-    """Serving plan shape: broadcast join + single FlatMapGroupsInPandas."""
+    """Serving plan shape (salt_v3 fast path): one MapInPandas task per
+    postings file, NO shuffle of block bytes anywhere — the only Exchange
+    in the plan is the tiny D·k-per-query merge keyed on query_id."""
     from colbert_live_spark.entry_queries import built_index
     from colbert_live_spark.operators.wand import wand_search
     from colbert_live_spark.queryset import DOC_QUERIES
     idx = built_index(spark, "/root/testdata/sf0.001")
     df = wand_search(spark, idx, DOC_QUERIES, k=10)
     plan = physical_plan(df)
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+    # block bytes must never shuffle: no Exchange keyed on the shard salt
+    assert "hashpartitioning(salt" not in plan
     # the global merge's row_number top-k must compile to WindowGroupLimit
     # (partial per-map-partition top-k BEFORE the shuffle) — this is what
     # bounds merge shuffle volume at partitions×k per query independent of
     # the doc-shard count D (SCALE.md §2)
     assert "WindowGroupLimit" in plan
+
+
+def test_wand_search_filtered_plan(spark):
+    """The doc_filter path keeps the cogroup-by-shard topology (filter ids
+    must meet their shard's blocks) — and stays row-Python-free."""
+    from colbert_live_spark.entry_queries import built_index
+    from colbert_live_spark.operators.wand import wand_search
+    from colbert_live_spark.queryset import DOC_QUERIES
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = built_index(spark, "/root/testdata/sf0.001")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    df = wand_search(spark, idx, DOC_QUERIES, k=10, doc_filter=en)
+    plan = physical_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
