@@ -35,7 +35,15 @@ def main() -> None:
     # fresh index root: the build below must be a real build every run
     idx_root = tempfile.mkdtemp(prefix="bench_idx_")
     os.environ["SPARK_GRAFT_INDEX_ROOT"] = idx_root
+    try:
+        _run(sf_dir, sf, n_repeats, idx_root)
+    finally:
+        # a query raising mid-bench must not leak a full index build under
+        # /tmp per failed run (advice r3)
+        shutil.rmtree(idx_root, ignore_errors=True)
 
+
+def _run(sf_dir: str, sf: str, n_repeats: int, idx_root: str) -> None:
     from colbert_live_spark.session import get_spark
     from colbert_live_spark import entry_queries as eq
 
@@ -61,6 +69,7 @@ def main() -> None:
         "knn_ivf_sampled",
         "maxsim_topk",
         "maxsim_topk_ivf",
+        "maxsim_topk_ivf_capped",
         "text_stats",
         "fingerprint",
         "embedding_neardup_lsh",
@@ -117,9 +126,12 @@ def main() -> None:
     recall10 = recall("knn_ivf", "knn_bruteforce", "vec_id")
     recall10_sampled = recall("knn_ivf_sampled", "knn_bruteforce", "vec_id")
     maxsim_recall10 = recall("maxsim_topk_ivf", "maxsim_topk", "doc_id")
+    maxsim_capped_recall10 = recall("maxsim_topk_ivf_capped", "maxsim_topk",
+                                    "doc_id")
     print(f"# recall@10 vs exact: knn_ivf={recall10} "
           f"knn_ivf_sampled={recall10_sampled} "
-          f"maxsim_ivf={maxsim_recall10}", file=sys.stderr)
+          f"maxsim_ivf={maxsim_recall10} "
+          f"maxsim_ivf_capped={maxsim_capped_recall10}", file=sys.stderr)
 
     # low-latency local serving mode p50 (zero Spark jobs; see wand.py)
     from colbert_live_spark.operators.wand import wand_search_local
@@ -145,11 +157,11 @@ def main() -> None:
         "knn_ivf_recall_at_10": recall10,
         "knn_ivf_sampled_recall_at_10": recall10_sampled,
         "maxsim_ivf_recall_at_10": maxsim_recall10,
+        "maxsim_ivf_capped_recall_at_10": maxsim_capped_recall10,
         "local_query_p50_s": local_p50,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
-    shutil.rmtree(idx_root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,22 @@ def main() -> None:
         best["all_digests"] = sorted({r["result_digest"] for r in rs})
         results[lv] = best
 
+    # the best-of estimator's validity rests on EQUAL sampling effort per
+    # level and identical code (same result digest) — enforce, don't just
+    # record (advice r3): unequal effort or divergent digests would let a
+    # lucky level overstate the scaling efficiency
+    counts = {lv: len(rs) for lv, rs in runs.items()}
+    if len(set(counts.values())) != 1:
+        print(f"WARNING: unequal samples per level {counts} — best-of "
+              "favors the over-sampled level; rerun the missing windows",
+              file=sys.stderr)
+    all_digests = {r["result_digest"] for rs in runs.values() for r in rs}
+    if len(all_digests) != 1:
+        raise SystemExit(
+            f"refusing to merge: result digests diverge across samples "
+            f"({sorted(all_digests)}) — these are not runs of the same "
+            "code/input")
+
     lo, hi = min(runs), max(runs)
     factor = hi / lo
     build_ratio = (results[hi]["build_docs_per_sec"]

@@ -141,6 +141,24 @@ def cmd_compact(args) -> None:
     print(json.dumps({"segment": seg, "root": args.root}))
 
 
+def cmd_ingest_stream(args) -> None:
+    """Structured-Streaming ingest (AvailableNow): drain the input directory
+    into a live segment root, one micro-batch per file."""
+    from colbert_live_spark.index.segments import _read_manifest
+    from colbert_live_spark.streaming.incremental import ingest_stream
+    spark = _get_spark("cls-ingest-stream")
+    schema = spark.read.parquet(args.input).schema
+    t0 = time.time()
+    ingest_stream(spark, args.input, schema, args.root,
+                  checkpoint=args.checkpoint, id_col=args.id_col,
+                  text_col=args.text_col, preserve_ids=args.preserve_ids)
+    m = _read_manifest(args.root)
+    print(json.dumps({"root": args.root,
+                      "segments": len(m["segments"]),
+                      "n_docs": sum(s["n_docs"] for s in m["segments"]),
+                      "wall_s": round(time.time() - t0, 3)}))
+
+
 def cmd_search_live(args) -> None:
     from colbert_live_spark.index.segments import segment_search
     spark = _get_spark("cls-search-live")
@@ -208,6 +226,16 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--root", required=True)
     c.add_argument("--n-shards", type=int, default=4)
     c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("ingest-stream",
+                        help="Structured-Streaming ingest into a live root")
+    st.add_argument("--root", required=True)
+    st.add_argument("--input", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--id-col", default="doc_id")
+    st.add_argument("--text-col", default="text")
+    st.add_argument("--preserve-ids", action="store_true")
+    st.set_defaults(fn=cmd_ingest_stream)
 
     sl = sub.add_parser("search-live", help="query a live segment root")
     sl.add_argument("--root", required=True)

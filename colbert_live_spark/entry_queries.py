@@ -465,6 +465,81 @@ def q_bm25_after_compact(spark, sf_dir):
     return _round_score(segment_search(spark, root, DOC_QUERIES, k=10))
 
 
+def built_streamed_root(spark, sf_dir: str) -> str:
+    """Segment root populated via STRUCTURED STREAMING: the corpus is staged
+    as three parquet files, readStream + Trigger.AvailableNow drains them
+    through foreachBatch(add_segment) with the idempotent batch-id sink.
+    ``preserve_ids`` keeps the corpus doc ids, so the result is independent
+    of the file order the stream source happens to list — any order yields
+    the same root contents."""
+    import hashlib
+    import os
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/cls_segstream_v4_{tag}"
+    ready = f"{root}/_READY"
+    if not os.path.exists(ready):
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        from colbert_live_spark.streaming.incremental import ingest_stream
+        docs = _docs(spark, sf_dir)
+        stage = f"{root}/_stage"
+        docs.repartition(3).write.mode("overwrite").parquet(stage)
+        ingest_stream(spark, stage, docs.schema, f"{root}/live",
+                      checkpoint=f"{root}/_ckpt", preserve_ids=True)
+        open(ready, "w").close()
+    return f"{root}/live"
+
+
+def q_bm25_streamed(spark, sf_dir):
+    """§2.11 driver-oracle-checked END TO END through Structured Streaming:
+    micro-batch ingest (AvailableNow) into a segmented root answers exactly
+    like a monolithic index — the oracle is the SAME SQL as bm25_topk
+    (VERDICT r3 ask #5; reference liveness README.md:21-23)."""
+    from colbert_live_spark.index.segments import segment_search
+    root = built_streamed_root(spark, sf_dir)
+    return _round_score(segment_search(spark, root, DOC_QUERIES, k=10))
+
+
+_UPDATE_PRED_SQL = "doc_id % 5 = 1"
+_UPDATE_SUFFIX = " refreshed revision"
+
+
+def built_updated_root(spark, sf_dir: str) -> str:
+    """Segment root where docs (doc_id % 5 == 1) were MODIFIED in place via
+    update_docs (tombstone old version + re-ingest new text as a fresh
+    segment — the reference's "modify documents", README.md:21-23). The
+    re-added docs get deterministic new global ids = old id + N (N = corpus
+    size), which the oracle mirrors."""
+    import hashlib
+    import os
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/cls_segupd_v4_{tag}"
+    ready = f"{root}/_READY"
+    if not os.path.exists(ready):
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        from colbert_live_spark.index.segments import add_segment, update_docs
+        docs = _docs(spark, sf_dir)
+        add_segment(spark, docs, root, n_shards=4, salt_rows=200)
+        changed = (docs.filter(F.expr(_UPDATE_PRED_SQL))
+                   .withColumn("text", F.concat(F.col("text"),
+                                                F.lit(_UPDATE_SUFFIX))))
+        update_docs(spark, changed, root,
+                    docs.filter(F.expr(_UPDATE_PRED_SQL)).select("doc_id"),
+                    n_shards=4, salt_rows=200)
+        open(ready, "w").close()
+    return root
+
+
+def q_bm25_after_update(spark, sf_dir):
+    """Live modify ("update documents"): top-k equals the oracle recomputed
+    over the corpus with the updated docs' text replaced (statistics — N,
+    avgdl, df→idf — all reflect the mutation exactly; VERDICT r3 ask #6)."""
+    from colbert_live_spark.index.segments import segment_search
+    root = built_updated_root(spark, sf_dir)
+    return _round_score(segment_search(spark, root, DOC_QUERIES, k=10))
+
+
 def q_ndcg_at_k(spark, sf_dir):
     """A7 eval: NDCG@10 with graded relevance rel = least(tf, 3) derived
     from the single-term queries (the metric the reference reports for
@@ -683,6 +758,18 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM 
         "bm25_incremental": _bm25_topk_sql(k=10),
         "bm25_incremental_conjunctive": _bm25_topk_sql(k=10,
                                                        conjunctive=True),
+        # streaming micro-batch ingest changes nothing vs the monolith
+        "bm25_streamed": _bm25_topk_sql(k=10),
+        # modify = recompute over the mutated corpus; re-added docs carry
+        # deterministic new ids (old id + N) per the update_docs contract
+        "bm25_after_update": _bm25_topk_sql(k=10).replace(
+            "FROM documents",
+            f"""FROM (SELECT doc_id, text FROM documents
+            WHERE NOT ({_UPDATE_PRED_SQL})
+            UNION ALL
+            SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id,
+                   text || '{_UPDATE_SUFFIX}' AS text FROM documents
+            WHERE {_UPDATE_PRED_SQL})"""),
         "ndcg_at_k": _ndcg_sql(),
         "topk_payload": payload_sql,
         "rrf_fusion": rrf_sql,
@@ -738,6 +825,8 @@ def _core_query_map():
         "bm25_after_compact": q_bm25_after_compact,
         "bm25_incremental": q_bm25_incremental,
         "bm25_incremental_conjunctive": q_bm25_incremental_conjunctive,
+        "bm25_streamed": q_bm25_streamed,
+        "bm25_after_update": q_bm25_after_update,
         "ndcg_at_k": q_ndcg_at_k,
         "topk_payload": q_topk_payload,
         "rrf_fusion": q_rrf_fusion,

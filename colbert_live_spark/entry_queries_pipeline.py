@@ -16,21 +16,37 @@ NGRAM = 3
 JACCARD_T = 0.5
 MINHASH_N, MINHASH_BANDS = 16, 4
 MAX_SH_DF = 50  # boilerplate shingle cap (dedup_keep path; see dedup.shingles)
+MAX_BAND_BUCKET = 32  # LSH band-bucket size cap (dedup_keep path): one
+# degenerate band key must never create a quadratic candidate bucket; docs
+# in a dropped bucket can still pair via other bands, identical docs are
+# exact-dedup's job (see dedup.minhash_lsh_pairs)
 SIMHASH_BITS, SIMHASH_HAM = 60, 8
 NEARDUP_COS = 0.45
 EMB_LSH_BITS, EMB_LSH_BANDS, EMB_DIM = 16, 4, 64
 KNN_QUERIES = [0, 1, 2, 3, 4]
 KNN_K = 10
 IVF_C, IVF_PROBE, KMEANS_ITERS = 16, 4, 2
-IVF_TRAIN_SAMPLE = 200  # deterministic lowest-hash training sample (the
+IVF_TRAIN_SAMPLE = 800  # deterministic lowest-hash training sample (the
 # 10^12-vector shape: Lloyd never iterates over the full corpus)
-IVF_SAMPLED_NPROBE = 8  # sample-trained centroids are coarser on this
-# near-uniform synthetic corpus (the ANN-hard case: no cluster structure),
-# so the sampled entry probes wider; recall@10 is reported by bench.py
+IVF_SAMPLED_NPROBE = 12  # the synthetic vectors are UNIFORM (measured
+# intra/inter-label cosine 0.005/0.000 — no cluster structure), the
+# ANN-hard worst case where IVF recall ≈ probed fraction regardless of
+# training quality. nprobe=12/16 holds recall@10 ≥ 0.9 (bench-reported);
+# on real embedding corpora with cluster structure the same code reaches
+# that recall at much smaller probed fractions — that is where IVF's
+# O(N·nprobe/C) speedup actually pays.
 MAXSIM_T = 4            # token vectors per document (multi-vector model)
 MAXSIM_QUERIES = [0, 1, 2, 3, 4]  # query DOC ids (each = T token vectors)
 MAXSIM_K = 10
-MAXSIM_NANN = 20        # per-token ANN candidate cut (reference n_ann_docs)
+MAXSIM_NANN = 40        # per-token ANN candidate cut (reference n_ann_docs)
+MAXSIM_NPROBE = 8       # per-token probe width (recall ≥ 0.9 on the
+# uniform corpus; see IVF_SAMPLED_NPROBE note)
+MAXSIM_NCAND = 64       # n_maxsim_candidates for the CAPPED variant — the
+# reference's rescore-budget cut (`colbert_live/colbert_live.py:199-200`,
+# `_expand` f(10)=20 scaled to our T·n_ann=160 union); measured recall
+# cost on this uniform corpus: 0.96 → 0.86 (bench-reported) because the
+# best-single-token-cosine proxy ranks a 4-token sum poorly without
+# cluster structure
 
 
 def _docs(spark, sf_dir):
@@ -94,15 +110,18 @@ def q_dedup_keep(spark, sf_dir):
     removing exact duplicates and near-duplicates — what a training-data
     pipeline actually ships downstream. The near-dup stage is the SCALE
     path: boilerplate-capped shingles (df ≤ MAX_SH_DF) + MinHash-LSH banded
-    candidates + exact Jaccard verify on candidates only (higher doc_id of
-    each pair ≥ 0.5 dropped); no quadratic shingle self-join anywhere."""
+    candidates with the band-bucket skew cap (≤ MAX_BAND_BUCKET docs per
+    bucket — a degenerate band key can never go quadratic) + exact Jaccard
+    verify on candidates only (higher doc_id of each pair ≥ 0.5 dropped);
+    no quadratic shingle self-join anywhere."""
     docs = _docs(spark, sf_dir)
     exact = dedup.exact_dup_pairs(docs).select(
         F.col("dup_doc_id").alias("doc_id"))
     near = (dedup.minhash_lsh_pairs(docs, n_hashes=MINHASH_N,
                                     bands=MINHASH_BANDS, n=NGRAM,
                                     threshold=JACCARD_T,
-                                    max_shingle_df=MAX_SH_DF)
+                                    max_shingle_df=MAX_SH_DF,
+                                    max_band_bucket=MAX_BAND_BUCKET)
             .select(F.col("doc_b").alias("doc_id")))
     drops = exact.union(near).distinct()
     return (docs.join(drops, "doc_id", "left_anti")
@@ -154,8 +173,23 @@ def q_maxsim_topk_ivf(spark, sf_dir):
     (≤ T·n_ann candidate docs per query)."""
     return (similarity.maxsim_topk_ivf(
         _emb(spark, sf_dir), MAXSIM_QUERIES, MAXSIM_K,
-        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C, nprobe=IVF_PROBE,
+        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C, nprobe=MAXSIM_NPROBE,
         n_ann=MAXSIM_NANN, train_sample=IVF_TRAIN_SAMPLE)
+            .withColumn("score", F.round("score", ROUND)))
+
+
+def q_maxsim_topk_ivf_capped(spark, sf_dir):
+    """The serving loop WITH the reference's n_maxsim_candidates rescore
+    budget (C5, `colbert_live/colbert_live.py:199-200`): the candidate
+    union is cut to MAXSIM_NCAND by best-observed per-token cosine before
+    the exact rescore — bounds rescore cost at large T·nprobe·n_ann. Its
+    recall cost on this cluster-free corpus is reported in BENCH next to
+    the uncapped entry."""
+    return (similarity.maxsim_topk_ivf(
+        _emb(spark, sf_dir), MAXSIM_QUERIES, MAXSIM_K,
+        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C, nprobe=MAXSIM_NPROBE,
+        n_ann=MAXSIM_NANN, train_sample=IVF_TRAIN_SAMPLE,
+        n_maxsim_candidates=MAXSIM_NCAND)
             .withColumn("score", F.round("score", ROUND)))
 
 
@@ -231,8 +265,24 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
 """
 
 # MinHash signatures → banded candidates → exact common-shingle counts, over
-# whatever `shingles` relation precedes it (capped or not)
-_MINHASH_CAND_COMMON = f"""
+# whatever `shingles` relation precedes it (capped or not);
+# ``max_band_bucket`` mirrors dedup.minhash_lsh_pairs' bucket-skew cap
+def _minhash_cand_common(max_band_bucket: int | None = None) -> str:
+    if max_band_bucket is None:
+        bands_src = "bands"
+        cap_sql = ""
+    else:
+        bands_src = "bands_kept"
+        cap_sql = f"""
+bands_ok AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING count(*) <= {max_band_bucket}
+),
+bands_kept AS (
+  SELECT b.doc_id, b.band, b.band_key
+  FROM bands b JOIN bands_ok USING (band, band_key)
+),"""
+    return f"""
 sig AS (
   SELECT doc_id, perm,
          min(('0x' || substr(md5(perm::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
@@ -245,10 +295,10 @@ bands AS (
          md5(array_to_string(list_sort(list(perm::VARCHAR || ':'
              || minhash::VARCHAR)), ',')) AS band_key
   FROM sig GROUP BY doc_id, band
-),
+),{cap_sql}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM {bands_src} a JOIN {bands_src} b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 common AS (
@@ -475,9 +525,38 @@ per_tok AS (
 {_MAXSIM_TAIL}"""
 
 
-def _maxsim_ivf_sql() -> str:
+def _maxsim_ivf_sql(nprobe: int = MAXSIM_NPROBE,
+                    n_cand: int | None = None) -> str:
     cos = _sqlcos
     chain, cents_final = _km_chain(IVF_TRAIN_SAMPLE)
+    if n_cand is None:
+        cand_sql = f"""
+cand AS (
+  SELECT DISTINCT query_id, cdoc AS doc_id FROM (
+    SELECT query_id, cdoc,
+           row_number() OVER (PARTITION BY query_id, qtpos
+                              ORDER BY c DESC, vec_id ASC) AS r
+    FROM tok_hits) WHERE r <= {MAXSIM_NANN}
+)"""
+    else:
+        # the n_maxsim_candidates cut: rank the surviving union by best
+        # observed per-token cosine (identical c values in both engines;
+        # doc tie-break) — mirrors similarity.maxsim_topk_ivf exactly
+        cand_sql = f"""
+hits AS (
+  SELECT query_id, cdoc, c FROM (
+    SELECT query_id, cdoc, c,
+           row_number() OVER (PARTITION BY query_id, qtpos
+                              ORDER BY c DESC, vec_id ASC) AS r
+    FROM tok_hits) WHERE r <= {MAXSIM_NANN}
+),
+cand AS (
+  SELECT query_id, cdoc AS doc_id FROM (
+    SELECT query_id, cdoc,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY max(c) DESC, cdoc ASC) AS cr
+    FROM hits GROUP BY query_id, cdoc) WHERE cr <= {n_cand}
+)"""
     return f"""
 WITH {_VECS},
 {chain},
@@ -488,7 +567,7 @@ qprobe AS (
            row_number() OVER (PARTITION BY q.query_id, q.qtpos
                               ORDER BY {cos("q.qe", "c.cv")} DESC,
                                        c.centroid_id ASC) AS r
-    FROM q CROSS JOIN {cents_final} c) WHERE r <= {IVF_PROBE}
+    FROM q CROSS JOIN {cents_final} c) WHERE r <= {nprobe}
 ),
 tok_hits AS (
   SELECT p.query_id, p.qtpos, a.vec_id,
@@ -496,13 +575,7 @@ tok_hits AS (
   FROM assigned a JOIN qprobe p ON a.centroid_id = p.centroid_id
   WHERE (a.vec_id // {MAXSIM_T}) != p.query_id
 ),
-cand AS (
-  SELECT DISTINCT query_id, cdoc AS doc_id FROM (
-    SELECT query_id, cdoc,
-           row_number() OVER (PARTITION BY query_id, qtpos
-                              ORDER BY c DESC, vec_id ASC) AS r
-    FROM tok_hits) WHERE r <= {MAXSIM_NANN}
-),
+{cand_sql},
 per_tok AS (
   SELECT cd.query_id, cd.doc_id, q.qtpos, {cos("q.qe", "d.e")} AS c
   FROM cand cd
@@ -549,7 +622,7 @@ FROM h JOIN g USING (h) WHERE h.doc_id != g.keep_doc_id
         # Jaccard verify on candidates only
         "dedup_keep": f"""
 WITH {_SHINGLES_CAPPED},
-{_MINHASH_CAND_COMMON},
+{_minhash_cand_common(MAX_BAND_BUCKET)},
 near_drop AS (
   SELECT DISTINCT c.doc_b AS doc_id
   FROM common c
@@ -636,6 +709,7 @@ WHERE {cos_ab} >= {NEARDUP_COS}
         "knn_ivf_sampled": ivf_sampled_body,
         "maxsim_topk": _maxsim_sql(),
         "maxsim_topk_ivf": _maxsim_ivf_sql(),
+        "maxsim_topk_ivf_capped": _maxsim_ivf_sql(n_cand=MAXSIM_NCAND),
         "text_stats": f"""
 SELECT doc_id,
        {ts.sql_token_count('text')}::INT AS n_tokens,
@@ -690,6 +764,7 @@ def query_map():
         "knn_ivf_sampled": q_knn_ivf_sampled,
         "maxsim_topk": q_maxsim_topk,
         "maxsim_topk_ivf": q_maxsim_topk_ivf,
+        "maxsim_topk_ivf_capped": q_maxsim_topk_ivf_capped,
         "media_histogram": q_media_histogram,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,

@@ -61,6 +61,10 @@ RUN_SCHEMA = "term string, doc_id long, tf int, dl int"
 BLOCK_SCHEMA = ("term_id long, salt int, block_id int, first_doc long, "
                 "last_doc long, n int, max_weight double, "
                 "docs binary, tfs binary, dls binary")
+# pre-shuffle partial blocks (no block_id/last_doc/max_weight — those are
+# assigned after the global per-(term,salt) merge)
+PARTIAL_BLOCK_SCHEMA = ("term_id long, salt int, first_doc long, n int, "
+                        "docs binary, tfs binary, dls binary")
 LEDGER_SCHEMA = ("gid int, stage string, n_docs long, n_postings long, "
                  "bytes long, wall_ms long, files string")
 
@@ -222,6 +226,49 @@ def build_runs(
     return processed
 
 
+def _complete_group_chunks(it, min_rows: int, count_col: str | None = None):
+    """Re-chunk a mapInPandas batch iterator (sorted by (term_id, salt))
+    into DataFrames that contain only COMPLETE (term_id, salt) groups, each
+    ~``min_rows`` big. Bounds encoder memory to chunk + one group (a group
+    is ≤ salt_rows postings by construction) no matter how large the task's
+    partition is — a single salt's reduce partition at 10^12 docs is far
+    bigger than executor memory. ``count_col``: when set, rows are weighted
+    by that column (partial blocks count their decoded postings, not their
+    block rows)."""
+    import numpy as np
+    import pandas as pd
+
+    def weight(pdf):
+        return int(pdf[count_col].sum()) if count_col else len(pdf)
+
+    buf: list[pd.DataFrame] = []
+    nrows = 0
+    for pdf in it:
+        if pdf.empty:
+            continue
+        buf.append(pdf)
+        nrows += weight(pdf)
+        if nrows < min_rows:
+            continue
+        whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        keys = whole[["term_id", "salt"]].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        if change.size == 0:
+            # one giant group still in flight — keep buffering (bounded by
+            # the salt_rows group-size invariant)
+            buf = [whole]
+            continue
+        cut = int(change[-1])
+        yield whole.iloc[:cut]
+        rest = whole.iloc[cut:].reset_index(drop=True)
+        buf = [rest]
+        nrows = weight(rest)
+    if buf:
+        whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+        if len(whole):
+            yield whole
+
+
 def _dense_term_ids(spark: SparkSession, terms: DataFrame,
                     n_parts: int) -> DataFrame:
     """(term, df) -> (term, df, term_id dense 0..V-1)."""
@@ -238,8 +285,13 @@ def merge_index(
     doc_meta: DataFrame | None = None,
     doc_shards: int | None = None,
     doc_shards_headroom: int = 1,
+    pre_encode: bool = True,
 ) -> None:
     """Stage 2: runs → dictionary + compressed term-sharded postings + stats.
+
+    ``pre_encode``: varint-encode partial blocks on the map side so the
+    merge-shuffle moves compressed bytes (default; ``False`` shuffles raw
+    posting rows — kept for A/B benchmarking). Results are byte-identical.
 
     ``doc_shards`` (D): the global doc-shard count. salt = hash(doc_id) mod D
     for EVERY term, so shard s is a complete mini-index of its doc subset —
@@ -320,50 +372,85 @@ def merge_index(
     # Zipf skew because hash(doc_id) spreads every term's postings
     # uniformly across the doc_shards salts; the per-(term,salt) group
     # bound (≤ salt_rows) is unchanged.
-    parted = (tagged.repartition(doc_shards, "salt")
-                    .sortWithinPartitions("term_id", "salt", "doc_id"))
+    if pre_encode:
+        # Encode partial blocks BEFORE the shuffle: each map task locally
+        # sorts its slice by (term_id, salt, doc_id) and varint-encodes
+        # per-(term,salt) sub-lists, so the Exchange moves ~4-6 B/posting
+        # of compressed bytes instead of ~30-50 B/posting of raw rows — the
+        # merge-shuffle was the measured 1M-doc build scaling bottleneck
+        # (the one-bus shuffle volume does not parallelize). The reduce
+        # side decodes its salt's partials, merges the doc-sorted runs, and
+        # re-encodes final blocks — byte-identical to encoding the raw rows
+        # directly (tested), since the merged (doc, tf, dl) arrays are
+        # identical. Codec CPU is whole-array numpy and fully parallel.
+        pre = tagged.sortWithinPartitions("term_id", "salt", "doc_id")
 
-    def encode_partition(it):
-        import numpy as np
-        import pandas as pd
-        buf: list[pd.DataFrame] = []
-        cur_key: tuple | None = None
+        def encode_partials(it):
+            import numpy as np
+            import pandas as pd
+            for chunk in _complete_group_chunks(it, 4_000_000):
+                cols = codec.encode_lists_columns(
+                    chunk["term_id"].to_numpy(np.int64),
+                    chunk["salt"].to_numpy(np.int32),
+                    chunk["doc_id"].to_numpy(np.int64),
+                    chunk["tf"].to_numpy(np.int64),
+                    chunk["dl"].to_numpy(np.int64),
+                    avgdl, block_size, partial=True)
+                yield pd.DataFrame(cols)
 
-        def flush():
-            if cur_key is None or not buf:
-                return None
-            g = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            blocks = codec.encode_posting_list_columns(
-                g["doc_id"].to_numpy(np.int64), g["tf"].to_numpy(np.int64),
-                g["dl"].to_numpy(np.int64), avgdl, block_size)
-            out = pd.DataFrame(blocks)
-            out.insert(0, "salt", cur_key[1])
-            out.insert(0, "term_id", cur_key[0])
-            return out
+        partials = pre.mapInPandas(encode_partials,
+                                   schema=PARTIAL_BLOCK_SCHEMA)
+        parted = (partials.repartition(doc_shards, "salt")
+                  .sortWithinPartitions("term_id", "salt", "first_doc"))
 
-        for pdf in it:
-            if pdf.empty:
-                continue
-            keys = pdf[["term_id", "salt"]].to_numpy()
-            # split the arrow batch at key-change boundaries
-            change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
-            start = 0
-            for end in list(change) + [len(pdf)]:
-                seg = pdf.iloc[start:end]
-                key = (int(seg["term_id"].iloc[0]), int(seg["salt"].iloc[0]))
-                if cur_key is not None and key != cur_key:
-                    flushed = flush()
-                    if flushed is not None:
-                        yield flushed
-                    buf.clear()
-                cur_key = key
-                buf.append(seg)
-                start = end
-        flushed = flush()
-        if flushed is not None:
-            yield flushed
+        def merge_partials(it):
+            import numpy as np
+            import pandas as pd
+            # chunk bound: complete groups only, so the in-memory merge is
+            # ≤ chunk + one (term,salt) group (≤ salt_rows) regardless of
+            # how large one salt's reduce partition grows at scale
+            for chunk in _complete_group_chunks(it, 2_000_000,
+                                                count_col="n"):
+                d, tf, dl = codec.decode_blocks(
+                    chunk["first_doc"].to_numpy(np.int64),
+                    chunk["n"].to_numpy(np.int64),
+                    chunk["docs"].to_list(), chunk["tfs"].to_list(),
+                    chunk["dls"].to_list())
+                ns = chunk["n"].to_numpy(np.int64)
+                row_t = np.repeat(chunk["term_id"].to_numpy(np.int64), ns)
+                row_s = np.repeat(chunk["salt"].to_numpy(np.int32), ns)
+                # partial sub-lists of one group interleave doc ranges →
+                # global per-group doc order needs one lexsort; groups stay
+                # contiguous (term_id, salt are the major keys)
+                order = np.lexsort((d, row_s, row_t))
+                cols = codec.encode_lists_columns(
+                    row_t[order], row_s[order], d[order], tf[order],
+                    dl[order], avgdl, block_size, partial=False)
+                yield pd.DataFrame(cols)[
+                    ["term_id", "salt", "block_id", "first_doc", "last_doc",
+                     "n", "max_weight", "docs", "tfs", "dls"]]
 
-    blocks_df = parted.mapInPandas(encode_partition, schema=BLOCK_SCHEMA)
+        blocks_df = parted.mapInPandas(merge_partials, schema=BLOCK_SCHEMA)
+    else:
+        parted = (tagged.repartition(doc_shards, "salt")
+                        .sortWithinPartitions("term_id", "salt", "doc_id"))
+
+        def encode_partition(it):
+            import numpy as np
+            import pandas as pd
+            for chunk in _complete_group_chunks(it, 2_000_000):
+                cols = codec.encode_lists_columns(
+                    chunk["term_id"].to_numpy(np.int64),
+                    chunk["salt"].to_numpy(np.int32),
+                    chunk["doc_id"].to_numpy(np.int64),
+                    chunk["tf"].to_numpy(np.int64),
+                    chunk["dl"].to_numpy(np.int64),
+                    avgdl, block_size, partial=False)
+                yield pd.DataFrame(cols)[
+                    ["term_id", "salt", "block_id", "first_doc", "last_doc",
+                     "n", "max_weight", "docs", "tfs", "dls"]]
+
+        blocks_df = parted.mapInPandas(encode_partition, schema=BLOCK_SCHEMA)
     # partitionBy(salt): EXACTLY one file per doc shard (each shuffle
     # partition holds whole salts, so each salt is written by exactly one
     # task into its own salt=<s>/ directory). The serving file-tasks then
@@ -376,6 +463,20 @@ def merge_index(
     blocks_df.write.partitionBy("salt").mode("overwrite").parquet(
         f"{out_dir}/postings")
 
+    # VERIFY the one-file-per-salt invariant before stamping layout salt_v3:
+    # the serving fast path scores each postings file independently, so a
+    # salt split across two files (spark.sql.files.maxRecordsPerFile set in
+    # the session, speculative writes, a future writer change) would emit
+    # partial per-file scores and merge them as duplicates SILENTLY. If any
+    # salt directory holds >1 file, stamp the layout as salt_v2 — serving
+    # then takes the groupBy(salt) path, which is slower but correct.
+    per_salt: dict[str, int] = {}
+    for f in fsio.list_files(f"{out_dir}/postings", ".parquet"):
+        key = f.rsplit("/", 2)[-2]
+        per_salt[key] = per_salt.get(key, 0) + 1
+    layout = ("salt_v3" if all(c == 1 for c in per_salt.values())
+              else "salt_v2")
+
     n_blocks = _parquet_rows(f"{out_dir}/postings")
     _append_ledger(spark, out_dir, (
         -1, "merge", n_docs, n_blocks, _dir_bytes(f"{out_dir}/postings"),
@@ -386,9 +487,10 @@ def merge_index(
                     "block_size": block_size, "n_docs": int(n_docs),
                     "avgdl": avgdl, "sum_dl": sum_dl,
                     "doc_shards": int(doc_shards),
-                    # every doc shard's blocks live wholly in one postings
-                    # file → the shuffle-free file-task serving path applies
-                    "layout": "salt_v3"}))
+                    # salt_v3 ⟺ every doc shard's blocks live wholly in ONE
+                    # postings file (verified above) → the shuffle-free
+                    # file-task serving path applies
+                    "layout": layout}))
     # release the dense-id persist (it leaked one cached DataFrame per
     # merge_index call — one per segment / streaming micro-batch)
     cached = getattr(raw_dict, "_cls_persisted", None)
@@ -409,6 +511,7 @@ def build_index(
     doc_shards: int | None = None,
     doc_shards_headroom: int = 1,
     max_concurrency: int = 1,
+    pre_encode: bool = True,
 ) -> None:
     """Full build: checkpointed runs then merge. Safe to re-invoke after a
     failure — completed run groups are skipped via the ledger."""
@@ -416,4 +519,5 @@ def build_index(
                max_concurrency=max_concurrency)
     merge_index(spark, out_dir, n_shards=n_shards, salt_rows=salt_rows,
                 doc_meta=doc_meta, doc_shards=doc_shards,
-                doc_shards_headroom=doc_shards_headroom)
+                doc_shards_headroom=doc_shards_headroom,
+                pre_encode=pre_encode)

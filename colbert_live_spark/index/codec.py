@@ -159,6 +159,96 @@ def encode_posting_list_columns(
     }
 
 
+def encode_lists_columns(
+    term_ids: np.ndarray,
+    salts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+    partial: bool = False,
+) -> dict:
+    """Vectorized block encoding of MANY posting (sub-)lists in one pass.
+
+    Input rows must be sorted by (term_id, salt, doc_id) with doc_id unique
+    per (term_id, salt) group. Produces byte-identical blocks to calling
+    :func:`encode_posting_list_columns` per group (block boundaries restart
+    at every group start), but with no per-group Python — group/block
+    segmentation, delta computation, varint encoding, and byte slicing are
+    whole-array numpy operations. This is the index-build hot loop: the
+    map side pre-encodes partial blocks BEFORE the merge shuffle (so the
+    shuffle moves compressed bytes, not raw posting rows) and the reduce
+    side re-encodes the globally merged lists.
+
+    ``partial=True`` omits block_id / last_doc / max_weight (assigned only
+    after the global merge) and returns the pre-shuffle schema.
+    """
+    n = doc_ids.size
+    if n == 0:
+        empty = {
+            "term_id": np.zeros(0, dtype=np.int64),
+            "salt": np.zeros(0, dtype=np.int32),
+            "first_doc": np.zeros(0, dtype=np.int64),
+            "n": np.zeros(0, dtype=np.int32),
+            "docs": [], "tfs": [], "dls": [],
+        }
+        if not partial:
+            empty["block_id"] = np.zeros(0, dtype=np.int32)
+            empty["last_doc"] = np.zeros(0, dtype=np.int64)
+            empty["max_weight"] = np.zeros(0, dtype=np.float64)
+        return empty
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (term_ids[1:] != term_ids[:-1]) | (salts[1:] != salts[:-1])
+    gidx = np.cumsum(new_group) - 1
+    gstart = np.flatnonzero(new_group)
+    off = np.arange(n, dtype=np.int64) - gstart[gidx]
+    is_block_start = (off % block_size) == 0
+    starts = np.flatnonzero(is_block_start)
+    ends = np.concatenate([starts[1:], [n]])
+    n_blocks = starts.size
+
+    deltas = np.diff(doc_ids.astype(np.uint64))
+    keep = ~is_block_start[1:]  # delta into a block-start row is not stored
+    d_bytes, d_ends = _varint_offsets(deltas[keep])
+    t_bytes, t_ends = _varint_offsets(tfs.astype(np.uint64))
+    l_bytes, l_ends = _varint_offsets(dls.astype(np.uint64))
+
+    kept_per_block = ends - starts - 1
+    d_val_ends = np.cumsum(kept_per_block)
+    d_byte_ends = np.where(d_val_ends > 0, d_ends[d_val_ends - 1], 0) \
+        if d_ends.size else np.zeros(n_blocks, dtype=np.int64)
+    d_byte_starts = np.concatenate([[0], d_byte_ends[:-1]])
+    t_byte_ends = t_ends[ends - 1]
+    t_byte_starts = np.concatenate([[0], t_byte_ends[:-1]])
+    l_byte_ends = l_ends[ends - 1]
+    l_byte_starts = np.concatenate([[0], l_byte_ends[:-1]])
+
+    out = {
+        "term_id": term_ids[starts].astype(np.int64),
+        "salt": salts[starts].astype(np.int32),
+        "first_doc": doc_ids[starts].astype(np.int64),
+        "n": (ends - starts).astype(np.int32),
+        "docs": [d_bytes[a:b] for a, b in zip(d_byte_starts, d_byte_ends)],
+        "tfs": [t_bytes[a:b] for a, b in zip(t_byte_starts, t_byte_ends)],
+        "dls": [l_bytes[a:b] for a, b in zip(l_byte_starts, l_byte_ends)],
+    }
+    if not partial:
+        # block ordinal within its group: block index minus the group's
+        # first block index (group starts are always block starts)
+        block_of_group_start = np.cumsum(new_group[starts]) - 1
+        first_block_of_group = np.flatnonzero(new_group[starts])
+        out["block_id"] = (np.arange(n_blocks, dtype=np.int64)
+                           - first_block_of_group[block_of_group_start]
+                           ).astype(np.int32)
+        out["last_doc"] = doc_ids[ends - 1].astype(np.int64)
+        weights = bm25_weight_np(tfs, dls, avgdl)
+        out["max_weight"] = np.maximum.reduceat(weights, starts).astype(
+            np.float64)
+    return out
+
+
 def encode_posting_list(
     doc_ids: np.ndarray,
     tfs: np.ndarray,

@@ -54,7 +54,7 @@ from colbert_live_spark.functions.tokenize import py_tokenize
 from colbert_live_spark.index import fsio
 from colbert_live_spark.index.builder import build_index, merge_index
 from colbert_live_spark.operators.wand import (
-    OUT_SCHEMA, PARTIAL_SCHEMA, build_qmeta, merge_topk,
+    OUT_SCHEMA, PARTIAL_SCHEMA, build_qmeta, merge_topk, pruning_isin,
     score_shard_queries, shard_expr)
 
 MANIFEST = "MANIFEST.json"
@@ -91,10 +91,17 @@ def add_segment(
     doc_shards: int | None = None,
     batch_id: int | None = None,
     stream_id: str | None = None,
+    preserve_ids: bool = False,
 ) -> str | None:
     """Ingest one batch as a new segment; ``id_col`` values must be locally
     unique — they are offset by the manifest's next_doc_base for global
     uniqueness. Returns the segment name (None for no-op batches).
+
+    ``preserve_ids``: the caller guarantees GLOBALLY unique ids across all
+    batches (natural-key corpora — the reference's uuid/url PKs,
+    `example/cmdline/db.py:30,96`); ids are kept verbatim, so results are
+    independent of batch arrival order. Re-ingesting an id that already
+    lives in another segment is the caller's bug (it would double-count).
 
     ``batch_id``: idempotence token for at-least-once callers (Structured
     Streaming ``foreachBatch`` replays a batch if the sink committed but the
@@ -125,7 +132,7 @@ def add_segment(
             if sid == "_default":
                 m["last_batch_id"] = batch_id
 
-    base = m["next_doc_base"]
+    base = 0 if preserve_ids else m["next_doc_base"]
     seg = f"seg{m['seq']:05d}"
     seg_dir = f"{root}/segments/{seg}"
     shifted = docs.withColumn(id_col, F.col(id_col).cast("long") + F.lit(base))
@@ -153,7 +160,9 @@ def add_segment(
                           "avgdl": meta["avgdl"],
                           "sum_dl": meta.get("sum_dl"), "doc_base": base,
                           "ts": int(time.time())})
-    m["next_doc_base"] = int(max_id) + 1
+    # max() keeps the base monotone when preserve_ids batches arrive out of
+    # id order (next_doc_base only matters for future offset-mode batches)
+    m["next_doc_base"] = max(m["next_doc_base"], int(max_id) + 1)
     m["seq"] += 1
     commit_batch_id()
     _write_manifest(root, m)
@@ -292,6 +301,98 @@ def _df_deltas(spark: SparkSession, root: str, m: dict,
     return {r.term: int(r.ddf) for r in d}
 
 
+# a tombstone set up to this size is broadcast to the file tasks (8 B/id →
+# ≤16 MB); larger sets fall back to the cogroup topology (and are the signal
+# to compact() anyway)
+TOMBSTONE_BROADCAST_MAX = 2_000_000
+
+
+def _fast_path_search(spark, root, m, seg_dicts, gterm_id, bc, avgdl, k,
+                      prune, conjunctive):
+    """Shuffle-free segmented serving: ONE task per (segment, postings
+    file). Valid because doc ids are globally unique across segments (a
+    doc's complete postings live wholly inside one segment's one salt_v3
+    file), so per-file exact top-k candidates union to a superset of the
+    global top-k, exactly like the monolithic fast path
+    (`operators/wand.py`). Block bytes never enter an Exchange; the only
+    shuffle is the D·S·k-candidate merge.
+
+    Requires every segment to carry the verified ``salt_v3`` layout and the
+    tombstone set to fit the broadcast cap. Returns None when inapplicable
+    (caller falls back to the cogroup-by-shard topology)."""
+    seg_info: list[tuple[str, str, float, dict[int, int], list[int]]] = []
+    for s in m["segments"]:
+        sd = seg_dicts.get(s["name"], {})
+        mapping = {int(tid): gterm_id[t] for t, (tid, _df) in sd.items()
+                   if t in gterm_id}
+        if not mapping:
+            continue
+        try:
+            meta = json.loads(fsio.read_text(
+                f"{root}/segments/{s['name']}/_INDEX_META.json"))
+        except FileNotFoundError:
+            return None
+        if meta.get("layout") != "salt_v3":
+            return None
+        w_scale = max(1.0, avgdl / float(s["avgdl"])) if s["avgdl"] else 1.0
+        files = fsio.list_files(f"{root}/segments/{s['name']}/postings",
+                                ".parquet")
+        for f in files:
+            seg_info.append((s["name"], f, w_scale, mapping,
+                             sorted(mapping)))
+    if not seg_info:
+        return spark.createDataFrame([], OUT_SCHEMA)
+
+    if m["tombstones"]["n_deleted"] > TOMBSTONE_BROADCAST_MAX:
+        return None
+    excl = None
+    if m["tombstones"]["files"]:
+        cols = []
+        for f in m["tombstones"]["files"]:
+            t = fsio.read_parquet_table(f"{root}/{f}", columns=["doc_id"])
+            cols.append(t.column("doc_id").to_numpy())
+        excl = np.unique(np.concatenate(cols)).astype(np.int64)
+
+    # ship per-file scoring context through ONE broadcast (mapping dicts are
+    # |matched terms|-sized per segment — tiny); one Spark partition per
+    # (segment, file) so every file is its own task
+    ctx = spark.sparkContext.broadcast(
+        ([(path, w_scale, mapping, tids)
+          for _seg, path, w_scale, mapping, tids in seg_info], excl))
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(i,) for i in range(len(seg_info))],
+                                       len(seg_info)), "i int")
+
+    def run_files(it):
+        import pyarrow.dataset as pads
+        qm, nq = bc.value
+        infos, excl_ids = ctx.value
+        for pdf in it:
+            for i in pdf["i"]:
+                path, w_scale, mapping, tids = infos[int(i)]
+                fs, p = fsio.resolve(path)
+                tab = (pads.dataset(p, format="parquet", filesystem=fs)
+                       .to_table(filter=pruning_isin("term_id", tids)))
+                blocks = tab.to_pandas()
+                if not len(blocks):
+                    continue
+                # remap the segment-local term ids to the global ids the
+                # query metadata speaks, and rescale the stored block-max
+                # bound for global-avgdl drift (true upper bound: w grows
+                # at most linearly in avgdl)
+                blocks["term_id"] = (
+                    blocks["term_id"].map(mapping).astype(np.int64))
+                if w_scale != 1.0:
+                    blocks["max_weight"] = blocks["max_weight"] * w_scale
+                out = score_shard_queries(blocks, qm, nq, avgdl, k, prune,
+                                          conjunctive, exclude_ids=excl_ids)
+                if len(out):
+                    yield out
+
+    partial = fdf.mapInPandas(run_files, schema=PARTIAL_SCHEMA)
+    return merge_topk(partial, k)
+
+
 def segment_search(
     spark: SparkSession,
     root: str,
@@ -352,6 +453,11 @@ def segment_search(
     if not qmeta:
         return spark.createDataFrame([], OUT_SCHEMA)
     bc = spark.sparkContext.broadcast((qmeta, nq_map))
+
+    fast = _fast_path_search(spark, root, m, seg_dicts, gterm_id, bc, avgdl,
+                             k, prune, conjunctive)
+    if fast is not None:
+        return fast
 
     parts = []
     for s in m["segments"]:

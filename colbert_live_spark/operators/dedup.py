@@ -163,12 +163,21 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
                       n: int = 3, threshold: float = 0.5,
                       id_col: str = "doc_id",
                       text_col: str = "text",
-                      max_shingle_df: int | None = None) -> DataFrame:
+                      max_shingle_df: int | None = None,
+                      max_band_bucket: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH-banded candidates, exact-verified.
 
     rows-per-band = n_hashes / bands. Candidates = docs sharing any band
     key; the expensive exact Jaccard join runs only on candidates.
-    """
+
+    ``max_band_bucket``: drop band buckets holding more than this many docs
+    before the candidate self-join. One degenerate band key (e.g. 10^8
+    near-identical boilerplate pages sharing a signature band) would
+    otherwise create a quadratic 10^16-pair bucket no matter how the rest
+    is bounded. Docs in a dropped bucket can still pair through their
+    OTHER bands; truly identical docs are the exact-dedup stage's job
+    (dedup_keep composes both). The cap changes which candidates exist, so
+    oracles must apply the same cap."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, n, id_col, text_col,
                              max_shingle_df)
@@ -178,6 +187,12 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
                  .agg(F.md5(F.concat_ws(",", F.sort_array(
                      F.collect_list(F.concat_ws(":", "perm", "minhash"))))
                  ).alias("band_key")))
+    if max_band_bucket is not None:
+        ok = (band_keys.groupBy("band", "band_key")
+              .agg(F.count(F.lit(1)).alias("bn"))
+              .filter(F.col("bn") <= max_band_bucket)
+              .select("band", "band_key"))
+        band_keys = band_keys.join(ok, ["band", "band_key"])
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -187,25 +187,32 @@ def maxsim_topk_ivf(emb: DataFrame, query_doc_ids: list[int], k: int = 10,
                     nprobe: int = 4, n_ann: int = 20,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     kmeans_iters: int = 2,
-                    train_sample: int | None = None) -> DataFrame:
-    """(query_id, rank, doc_id, score): the reference's full serving loop
+                    train_sample: int | None = None,
+                    n_maxsim_candidates: int | None = None) -> DataFrame:
+    """(query_id, rank, doc_id, score): the reference's serving loop
     (`colbert_live/colbert_live.py:177-208`) composed Spark-first —
 
     1. per query-token ANN: probe the nprobe nearest IVF lists, keep the
        top ``n_ann`` vector hits per token (C1: per-token index probe with
        a bounded candidate cut, the ``n_ann_docs`` analog);
     2. candidate union: distinct docs over all token hit-lists (C4's fuse
-       stage, minus rank fusion — MaxSim rescores exactly, so fusion only
-       selects candidates);
-    3. exact MaxSim rescore on candidates only (R3: gather all of a
+       stage, minus RRF — candidates carry their best observed per-token
+       cosine instead of reciprocal ranks);
+    3. optional ``n_maxsim_candidates`` cut (C5, the reference's
+       `_expand`-sized rescore budget): keep only the top candidates by
+       best-observed cosine (doc_id tie-break). Default None = rescore the
+       full union, which on cluster-free (uniform) corpora holds recall
+       that the proxy-ordered cut would lose — the capped variant's recall
+       is reported separately in BENCH;
+    4. exact MaxSim rescore on candidates only (R3: gather all of a
        candidate doc's token vectors — the PK semi-join R1 — and score
        against all query tokens);
-    4. final top-k (R4).
+    5. final top-k (R4).
 
-    Cost: O(Q·T·N·nprobe/C) probe + O(Q·T·n_ann·T) rescore — independent
-    of corpus size in the rescore stage, sublinear in the probe; nothing
-    quadratic, nothing corpus-sized ever broadcasts (candidate sets are
-    ≤ T·n_ann per query)."""
+    Cost: O(Q·T·N·nprobe/C) probe + O(Q·cand·T²) rescore with cand ≤
+    min(T·n_ann, n_maxsim_candidates) — independent of corpus size in the
+    rescore stage, sublinear in the probe; nothing quadratic, nothing
+    corpus-sized ever broadcasts."""
     base = _with_norm(emb, id_col, vec_col)
     cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
                              id_col=id_col, vec_col=vec_col,
@@ -233,9 +240,22 @@ def maxsim_topk_ivf(emb: DataFrame, query_doc_ids: list[int], k: int = 10,
                          / (F.col("qn") * F.col("n"))).alias("c")))
     wt = Window.partitionBy("query_id", "qtpos").orderBy(
         F.desc("c"), F.asc("id"))
-    cand = (tok_hits.withColumn("r", F.row_number().over(wt))
-            .filter(F.col("r") <= n_ann)
-            .select("query_id", F.col("cdoc").alias("doc_id")).distinct())
+    hits = (tok_hits.withColumn("r", F.row_number().over(wt))
+            .filter(F.col("r") <= n_ann))
+    if n_maxsim_candidates is None:
+        cand = (hits.select("query_id", F.col("cdoc").alias("doc_id"))
+                .distinct())
+    else:
+        # C5 candidate cut: rank the union by each doc's best observed
+        # per-token cosine (deterministic: identical c values in both
+        # engines, doc_id tie-break), keep the top n_maxsim_candidates
+        best = (hits.groupBy("query_id", "cdoc")
+                .agg(F.max("c").alias("bc")))
+        wc = Window.partitionBy("query_id").orderBy(F.desc("bc"),
+                                                    F.asc("cdoc"))
+        cand = (best.withColumn("cr", F.row_number().over(wc))
+                .filter(F.col("cr") <= n_maxsim_candidates)
+                .select("query_id", F.col("cdoc").alias("doc_id")))
     per_tok = (cand.join(dv, "doc_id")
                .join(q, "query_id")
                .select("query_id", "doc_id", "qtpos",

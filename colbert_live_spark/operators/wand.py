@@ -2,24 +2,31 @@
 pruning — the scale path for the reference's search
 (`colbert_live/colbert_live.py:146-208`).
 
-Plan shape per batch of queries (doc-sharded topology):
+Plan shape per batch of queries (salt_v3 file-task topology):
 1. driver tokenizes queries (tiny; T1 analog `colbert_live/models.py:92-93`),
-2. dictionary lookup for matched terms — ``term_id IN (...)`` filter, pushed
-   to parquet row-group pruning (the analog of the reference's per-token
-   index probe, `colbert_live/db/astra.py:235-247`),
+2. driver-side dictionary point-lookup for matched terms (pyarrow, zero
+   Spark jobs; OR-of-equality predicate → parquet row-group pruning — the
+   analog of the reference's per-token index probe,
+   `colbert_live/db/astra.py:235-247`),
 3. the query-term table (query_id, term_id, qtf·idf) is broadcast to every
    task as a plain broadcast variable — it never joins against blocks, so
    NO per-query replication of compressed data ever happens,
-4. ``groupBy(salt).applyInPandas`` — the salt is a *global doc shard*
-   (hash(doc_id) mod D, index/builder.py), so one group holds the complete
-   mini-index of its doc subset across all matched terms. Each shard decodes
-   every matched list at most ONCE (term-level decode+weight cache), then
-   scores ALL queries of the batch with local-θ MaxScore pruning. Compressed
-   blocks move exactly once per batch, independent of batch size — the fix
-   for round 1's measured 0.589 batched-query scaling (BENCH/BASELINE.md).
-5. each (query, shard) emits ≤ k exact-scored candidates (a doc's whole
+4. ONE TASK PER POSTINGS FILE — the build wrote each doc shard
+   (salt = hash(doc_id) mod D, index/builder.py) wholly into one file, so a
+   file is the complete mini-index of its doc subset. Each task
+   pyarrow-reads its own file (term_id predicate → row-group pruning),
+   decodes every matched list at most ONCE (term-level decode+weight
+   cache), and scores ALL queries of the batch with local-θ MaxScore
+   pruning. Compressed block bytes NEVER enter a Spark Exchange — with a
+   doc_filter, only the 8-byte filter ids shuffle (grouped by shard) and
+   each group task reads its shard's file the same way.
+5. each (query, file) emits ≤ k exact-scored candidates (a doc's whole
    score is computed inside its shard, so the global top-k is a subset of
-   the per-shard top-k union); the global merge ranks D·k tiny rows.
+   the per-shard top-k union); the global merge ranks ≤ D·k tiny rows via
+   WindowGroupLimit (partial top-k before the merge shuffle).
+Non-salt_v3 layouts (builder's one-file-per-salt check failed) fall back
+to ``groupBy(salt).applyInPandas`` / cogroup — blocks shuffle once per
+batch; correct, plan-distinct, result-identical (tested).
 
 Safe-pruning invariant (tested): pruned output == unpruned output exactly.
 The pruning logic: process term lists in descending list-max-impact order,
@@ -299,9 +306,32 @@ def matched_query_terms(spark: SparkSession, index_dir: str,
         "query_id string, term_id long, qtf int, idf double")
 
 
-def _matched_terms(spark, index_dir, queries) -> dict:
-    """term -> (term_id, idf) for every query term present in the
-    dictionary — a DRIVER-SIDE pyarrow point-lookup, zero Spark jobs.
+def pruning_isin(field: str, values):
+    """A pyarrow predicate equivalent to ``field.isin(values)`` that
+    actually PRUNES parquet row groups. pyarrow evaluates only
+    equality/comparison guarantees against row-group statistics — a bare
+    ``isin`` reads every row group (measured: 20/20 matched on a
+    1000-term/20-row-group file; OR-of-equalities matched 2). Small value
+    sets (queries are dozens of terms) become the OR chain; larger sets
+    keep ``isin`` for the row filter but add a min/max range conjunct so
+    stats pruning still skips row groups outside the value span."""
+    import functools
+    import operator
+
+    import pyarrow.dataset as pads
+    vals = sorted(values)
+    if not vals:
+        return pads.field(field).isin(vals)
+    if len(vals) <= 64:
+        return functools.reduce(
+            operator.or_, [pads.field(field) == v for v in vals])
+    return ((pads.field(field) >= vals[0]) & (pads.field(field) <= vals[-1])
+            & pads.field(field).isin(vals))
+
+
+def _dict_point_lookup(index_dir: str, terms: list[str]) -> dict:
+    """term -> (term_id, idf) for the given terms — a DRIVER-SIDE pyarrow
+    point-lookup, zero Spark jobs.
 
     A Spark job here was ~0.5-1 s of fixed per-batch overhead that does not
     parallelize (it is the same at 2 and at 8 cores), directly eating
@@ -313,17 +343,24 @@ def _matched_terms(spark, index_dir, queries) -> dict:
     import pyarrow.dataset as pads
 
     from colbert_live_spark.index import fsio
-    all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
-    if not all_terms:
+    if not terms:
         return {}
     fs, p = fsio.resolve(f"{index_dir}/dict")
     t = (pads.dataset(p, format="parquet", filesystem=fs)
-         .to_table(filter=pads.field("term").isin(all_terms),
+         .to_table(filter=pruning_isin("term", terms),
                    columns=["term", "term_id", "idf"]))
     return {term: (int(tid), float(idf)) for term, tid, idf in
             zip(t.column("term").to_pylist(),
                 t.column("term_id").to_pylist(),
                 t.column("idf").to_pylist())}
+
+
+def _matched_terms(spark, index_dir, queries) -> dict:
+    """term -> (term_id, idf) for every query term present in the
+    dictionary (cluster serving path — one uncached point-lookup per
+    batch)."""
+    all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
+    return _dict_point_lookup(index_dir, all_terms)
 
 
 def _matched_query_rows(spark, index_dir, queries):
@@ -566,6 +603,19 @@ def score_shard_queries(
                          "score": np.concatenate(out_s)})
 
 
+def _salt_file_map(files: list[str]) -> dict[int, str]:
+    """salt → its single postings file, parsed from the ``salt=<s>/``
+    partition directories of a salt_v3 layout (one file per salt, verified
+    at build time before the layout tag is stamped)."""
+    import re
+    out: dict[int, str] = {}
+    for f in files:
+        m = re.search(r"salt=(\d+)/", f)
+        if m is not None:
+            out[int(m.group(1))] = f
+    return out
+
+
 def shard_expr(doc_id_col, doc_shards: int):
     """The doc-shard assignment expression — MUST match the build-side salt
     (index/builder.py merge_index)."""
@@ -581,34 +631,39 @@ def merge_topk(partial: DataFrame, k: int) -> DataFrame:
 
 # ------------------------------------------------- low-latency local serving
 
+# index_dir -> (meta_text, hot-term cache {term: (tid, idf) | None}, avgdl).
+# ``None`` entries are negative hits (term absent from the index) so
+# repeated unknown-term queries don't re-read the dictionary.
 _DICT_CACHE: dict[str, tuple[str, dict, float]] = {}
 
 
-def _local_dict(index_dir: str) -> tuple[dict, float]:
-    """(term -> (term_id, idf), avgdl), cached per index dir. At sandbox
-    scale the dictionary is vocab-sized and fits the driver; at web scale
-    this cache would hold only the hot-term working set (same interface —
-    a miss falls back to a filtered parquet read).
+def _local_dict(index_dir: str, terms: list[str]) -> tuple[dict, float]:
+    """({term -> (term_id, idf) | None for each requested term}, avgdl).
 
-    The cache is validated against the index's ``_INDEX_META.json`` content
-    on every lookup (one tiny file read): if the index at this path was
-    rebuilt by a long-lived serving process, term_ids may have been
-    reassigned, and applying a stale dictionary to freshly-read postings
-    would silently mis-score. Identical meta content implies the same
-    deterministic build inputs, hence the same dictionary."""
+    Scale shape: this NEVER loads the dictionary table — cache misses go
+    through the same row-group-pruned pyarrow point-lookup as the cluster
+    path (:func:`_dict_point_lookup`), so driver memory holds only the
+    hot-term working set, not the 10^8-term web vocabulary. The cache is
+    validated against the index's ``_INDEX_META.json`` content on every
+    call (one tiny file read): if the index at this path was rebuilt by a
+    long-lived serving process, term_ids may have been reassigned, and
+    applying stale entries to freshly-read postings would silently
+    mis-score. Identical meta content implies the same deterministic build
+    inputs, hence the same dictionary."""
     from colbert_live_spark.index import fsio
     meta_text = fsio.read_text(f"{index_dir}/_INDEX_META.json")
     hit = _DICT_CACHE.get(index_dir)
-    if hit is not None and hit[0] == meta_text:
-        return hit[1], hit[2]
-    t = fsio.read_parquet_table(f"{index_dir}/dict",
-                                columns=["term", "term_id", "idf"])
-    d = {term: (int(tid), float(idf)) for term, tid, idf in
-         zip(t.column("term").to_pylist(), t.column("term_id").to_pylist(),
-             t.column("idf").to_pylist())}
-    meta = json.loads(meta_text)
-    _DICT_CACHE[index_dir] = (meta_text, d, float(meta["avgdl"]))
-    return d, float(meta["avgdl"])
+    if hit is None or hit[0] != meta_text:
+        meta = json.loads(meta_text)
+        hit = (meta_text, {}, float(meta["avgdl"]))
+        _DICT_CACHE[index_dir] = hit
+    _, cache, avgdl = hit
+    misses = [t for t in terms if t not in cache]
+    if misses:
+        found = _dict_point_lookup(index_dir, misses)
+        for t in misses:
+            cache[t] = found.get(t)  # None = negative cache entry
+    return {t: cache[t] for t in terms}, avgdl
 
 
 def wand_search_local(
@@ -631,7 +686,8 @@ def wand_search_local(
     O(log n) probe + O(candidates) rescore, colbert_live.py:167-169."""
     import pyarrow.dataset as ds
 
-    dct, avgdl = _local_dict(index_dir)
+    all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
+    dct, avgdl = _local_dict(index_dir, all_terms)
     qmeta, nq_map = build_qmeta(queries, dct.get)
     term_ids = {tid for terms in qmeta.values() for tid, _ in terms}
     empty = pd.DataFrame({"query_id": pd.array([], dtype="str"),
@@ -642,7 +698,7 @@ def wand_search_local(
         return empty
     dataset = ds.dataset(f"{index_dir}/postings", format="parquet")
     blocks = dataset.to_table(
-        filter=ds.field("term_id").isin(sorted(term_ids))).to_pandas()
+        filter=pruning_isin("term_id", term_ids)).to_pandas()
     fids = None
     if filter_ids is not None:
         # accept any iterable of ids (set/list/array — the oracle-side
@@ -680,21 +736,23 @@ def wand_search(
 
     ``doc_filter``: optional single-column (doc_id) DataFrame of permitted
     docs — the composable metadata predicate. It is distributed end-to-end:
-    filter ids shuffle by the same doc-shard key as the index and cogroup
-    with the matched blocks, so nothing is ever collected to the driver
-    (reference analog: tag filter inside the ANN scan,
-    `example/cmdline/db.py:82-88`; corpus statistics stay GLOBAL, matching
-    the reference's semantics).
+    filter ids shuffle by the same doc-shard key as the index, so nothing
+    is ever collected to the driver (reference analog: tag filter inside
+    the ANN scan, `example/cmdline/db.py:82-88`; corpus statistics stay
+    GLOBAL, matching the reference's semantics).
 
     Topology: on a ``salt_v3`` index (every doc shard's blocks wholly
-    inside one postings file) the unfiltered path runs ONE TASK PER FILE —
-    each task pyarrow-reads its own file with the term_id predicate pushed
-    to row-group pruning, scores all queries, and emits ≤ k candidates per
-    query. No shuffle of block bytes ever happens (the old topology
-    shuffled every matched block to group by shard — hundreds of MB of
-    one-bus traffic that did not scale with cores). The filtered path
-    keeps the cogroup-by-shard shuffle (filter ids must meet their shard's
-    blocks somewhere)."""
+    inside one postings file — verified at build time) NO path ever
+    shuffles block bytes:
+    - unfiltered: ONE TASK PER FILE — each task pyarrow-reads its own file
+      with the term_id predicate pushed to row-group pruning, scores all
+      queries, and emits ≤ k candidates per query;
+    - filtered: the filter ids (8-byte rows — the minimum possible shuffle)
+      group by their doc shard; each shard's group task reads that shard's
+      ONE postings file directly and scores under the filter. A shard with
+      no permitted ids is never read at all (filter-directed pruning).
+    Non-salt_v3 layouts fall back to the groupBy(salt) / cogroup topology
+    (blocks shuffle once per batch — correct, but the old scaling cost)."""
     from colbert_live_spark.index import fsio
     meta = json.loads(fsio.read_text(f"{index_dir}/_INDEX_META.json"))
     avgdl = float(meta["avgdl"])
@@ -711,33 +769,65 @@ def wand_search(
     term_ids = sorted({tid for terms in qmeta.values() for tid, _ in terms})
     bc = spark.sparkContext.broadcast((qmeta, nq_map))
 
-    if doc_filter is None and meta.get("layout") == "salt_v3":
+    if meta.get("layout") == "salt_v3":
         files = fsio.list_files(f"{index_dir}/postings", ".parquet")
         if not files:
             return spark.createDataFrame([], OUT_SCHEMA)
-        # one row per file, one PARTITION per file (parallelize slices the
-        # list evenly) → mapInPandas runs one scoring task per file with no
-        # shuffle anywhere before the tiny D·k-per-query merge
-        fdf = spark.createDataFrame(
-            spark.sparkContext.parallelize([(f,) for f in files],
-                                           len(files)),
-            "path string")
 
-        def run_files(it):
+        if doc_filter is None:
+            # one row per file, one PARTITION per file (parallelize slices
+            # the list evenly) → mapInPandas runs one scoring task per file
+            # with no shuffle anywhere before the tiny D·k-per-query merge
+            fdf = spark.createDataFrame(
+                spark.sparkContext.parallelize([(f,) for f in files],
+                                               len(files)),
+                "path string")
+
+            def run_files(it):
+                import pyarrow.dataset as pads
+                qm, nq = bc.value
+                for pdf in it:
+                    for path in pdf["path"]:
+                        fs, p = fsio.resolve(path)
+                        tab = (pads.dataset(p, format="parquet",
+                                            filesystem=fs)
+                               .to_table(filter=pruning_isin(
+                                   "term_id", term_ids)))
+                        out = score_shard_queries(tab.to_pandas(), qm, nq,
+                                                  avgdl, k, prune,
+                                                  conjunctive)
+                        if len(out):
+                            yield out
+
+            partial = fdf.mapInPandas(run_files, schema=PARTIAL_SCHEMA)
+            return merge_topk(partial, k)
+
+        # filtered fast path: group the PERMITTED ids by doc shard (the only
+        # Exchange — id rows, never block bytes); each group task reads its
+        # shard's single postings file via pyarrow. A doc can only score in
+        # its own shard, so shards absent from the filter contribute nothing
+        # and are skipped entirely.
+        salt_files = _salt_file_map(files)
+        fdf = (doc_filter
+               .select(F.col(doc_filter.columns[0]).cast("long")
+                       .alias("doc_id"))
+               .withColumn("shard", shard_expr(F.col("doc_id"), doc_shards)))
+
+        def run_salt(key: tuple, filt_pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.dataset as pads
             qm, nq = bc.value
-            for pdf in it:
-                for path in pdf["path"]:
-                    fs, p = fsio.resolve(path)
-                    tab = (pads.dataset(p, format="parquet", filesystem=fs)
-                           .to_table(filter=pads.field("term_id")
-                                     .isin(term_ids)))
-                    out = score_shard_queries(tab.to_pandas(), qm, nq,
-                                              avgdl, k, prune, conjunctive)
-                    if len(out):
-                        yield out
+            path = salt_files.get(int(key[0]))
+            if path is None:
+                return _empty_partial()
+            fs, p = fsio.resolve(path)
+            tab = (pads.dataset(p, format="parquet", filesystem=fs)
+                   .to_table(filter=pruning_isin("term_id", term_ids)))
+            fids = np.unique(filt_pdf["doc_id"].to_numpy(np.int64))
+            return score_shard_queries(tab.to_pandas(), qm, nq, avgdl, k,
+                                       prune, conjunctive, filter_ids=fids)
 
-        partial = fdf.mapInPandas(run_files, schema=PARTIAL_SCHEMA)
+        partial = fdf.groupBy("shard").applyInPandas(
+            run_salt, schema=PARTIAL_SCHEMA)
         return merge_topk(partial, k)
 
     postings = (spark.read.parquet(f"{index_dir}/postings")

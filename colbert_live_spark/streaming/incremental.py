@@ -31,6 +31,8 @@ def ingest_stream(
     text_col: str = "text",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    preserve_ids: bool = False,
+    key_col: str = "url",
 ):
     """Start (and by default drain) a file-source stream into segments.
     Returns the StreamingQuery (already awaited if available_now).
@@ -39,7 +41,20 @@ def ingest_stream(
     streams with separate checkpoints writing one root don't swallow each
     other's batch 0/1/2… as replays; a restarted stream that *discards* its
     checkpoint must also use a new checkpoint path (same rule as any
-    Structured Streaming sink)."""
+    Structured Streaming sink).
+
+    One-time migration note: roots whose batches were committed BEFORE
+    stream-id namespacing existed recorded them under the default token
+    (``last_batch_id``). Resuming such a stream with a named checkpoint
+    starts its namespace at -1, so ONE in-flight replayed micro-batch could
+    re-ingest as a duplicate segment. Either keep the default namespace
+    (don't pass a checkpoint-derived stream id for legacy roots) or seed
+    ``stream_batch_ids[<checkpoint>] = last_batch_id`` in MANIFEST.json
+    once before resuming.
+
+    ``preserve_ids``: forward to :func:`add_segment` — for corpora with
+    globally unique natural keys, results become independent of the order
+    in which the file source lists its inputs."""
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger or 1)
               .parquet(input_path))
@@ -48,9 +63,21 @@ def ingest_stream(
     def handle(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if id_col not in batch_df.columns:
+            # natural-key corpora (the input_hint shape: url PK, no dense
+            # id): assign batch-local dense ids from the key; add_segment's
+            # base offset makes them globally unique. preserve_ids would
+            # need caller-provided globally-unique ids — refuse loudly.
+            if preserve_ids:
+                raise ValueError(
+                    f"preserve_ids requires an existing '{id_col}' column "
+                    "with globally unique values")
+            from colbert_live_spark.index.ids import assign_dense_ids
+            batch_df = assign_dense_ids(batch_df, key_col, id_col)
         # batch_id makes replayed micro-batches no-ops (idempotent sink)
         add_segment(spark, batch_df, root, id_col=id_col, text_col=text_col,
-                    batch_id=batch_id, stream_id=stream_id)
+                    batch_id=batch_id, stream_id=stream_id,
+                    preserve_ids=preserve_ids)
 
     writer = (reader.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint))

@@ -231,13 +231,16 @@ def test_local_mode_doc_filter(spark, index_dir, documents, oracle_index):
 
 
 def test_doc_filter_is_distributed(spark, index_dir, documents):
-    """The filtered path must cogroup filter ids with blocks (a
-    FlatMapCoGroupsInPandas node), never collect them to the driver."""
+    """The filtered path must shuffle the filter ids by doc shard (a
+    FlatMapGroupsInPandas over the id rows), never collect them to the
+    driver — and on salt_v3 it must NOT move block bytes (no cogroup of
+    the postings scan)."""
     from pyspark.sql import functions as F
     en = documents.filter(F.col("lang") == "en").select("doc_id")
     df = wand_search(spark, index_dir, DOC_QUERIES, k=K, doc_filter=en)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "FlatMapCoGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -269,13 +272,87 @@ def test_intersection_missing_term_empty():
 
 
 def test_file_task_path_identical_to_cogroup_path(spark, index_dir,
-                                                  documents):
-    """The salt_v3 shuffle-free file-task topology and the cogroup-by-shard
-    shuffle topology must produce byte-identical results. An all-docs
-    doc_filter forces the cogroup path on the same index."""
+                                                  documents,
+                                                  tmp_path_factory):
+    """The salt_v3 shuffle-free topologies (file tasks; filter-group tasks)
+    and the groupBy(salt)/cogroup shuffle topologies must produce
+    byte-identical results. Downgrading the layout tag to salt_v2 forces
+    the fallback on a copy of the same index — this is exactly what the
+    builder stamps when the one-file-per-salt invariant fails, so it also
+    proves the fallback serves correctly."""
+    import json as _json
+    import shutil as _shutil
     from pyspark.sql import functions as F
-    all_ids = documents.select("doc_id")
+    legacy = str(tmp_path_factory.mktemp("legacy") / "idx")
+    _shutil.copytree(index_dir, legacy)
+    meta = _json.loads(open(f"{legacy}/_INDEX_META.json").read())
+    meta["layout"] = "salt_v2"
+    open(f"{legacy}/_INDEX_META.json", "w").write(_json.dumps(meta))
+
+    en = documents.filter(F.col("lang") == "en").select("doc_id")
     fast = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=10))
-    slow = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=10,
-                                doc_filter=all_ids))
+    slow = _collect(wand_search(spark, legacy, DOC_QUERIES, k=10))
     assert fast == slow
+    fast_f = _collect(wand_search(spark, index_dir, DOC_QUERIES, k=10,
+                                  doc_filter=en))
+    slow_f = _collect(wand_search(spark, legacy, DOC_QUERIES, k=10,
+                                  doc_filter=en))
+    assert fast_f == slow_f
+
+
+def test_local_dict_point_lookup_prunes_rowgroups(tmp_path):
+    """Scale guard (VERDICT r3 ask #4): the local serving dictionary must
+    never load the full vocabulary — misses go through a parquet
+    point-lookup whose term predicate prunes to the row groups containing
+    the queried terms. Asserted with pyarrow fragment statistics on a
+    many-row-group dictionary file."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    terms = [f"term{i:05d}" for i in range(1000)]
+    t = pa.table({"term": terms,
+                  "term_id": pa.array(range(1000), pa.int64()),
+                  "idf": pa.array([1.5] * 1000, pa.float64())})
+    (tmp_path / "dict").mkdir()
+    pq.write_table(t, tmp_path / "dict" / "part-0.parquet",
+                   row_group_size=50)  # 20 term-sorted row groups
+    from colbert_live_spark.operators.wand import (_dict_point_lookup,
+                                                   pruning_isin)
+    ds = pads.dataset(str(tmp_path / "dict"), format="parquet")
+    frag = next(iter(ds.get_fragments()))
+    # a bare isin does NOT prune (pyarrow only evaluates eq/range
+    # guarantees against row-group stats — measured 20/20); the lookup's
+    # predicate must
+    pred = pruning_isin("term", ["term00007", "term00953"])
+    matched = list(frag.split_by_row_group(pred))
+    assert len(matched) <= 2, "stats pruning failed: read most row groups"
+    # large-set shape still prunes to the min/max span
+    big = [f"term{i:05d}" for i in range(100, 300)]
+    span = list(frag.split_by_row_group(pruning_isin("term", big)))
+    assert len(span) <= 5, "range conjunct did not prune outside the span"
+    found = _dict_point_lookup(str(tmp_path),
+                               ["term00007", "term00953", "zzzabsent"])
+    assert found == {"term00007": (7, 1.5), "term00953": (953, 1.5)}
+
+
+def test_local_dict_hot_cache(index_dir, monkeypatch):
+    """Repeat queries must be served from the hot-term cache (including
+    negative entries for absent terms) with zero dictionary reads."""
+    from colbert_live_spark.operators import wand as wand_mod
+    from colbert_live_spark.operators.wand import wand_search_local
+    wand_mod._DICT_CACHE.clear()
+    calls: list[list[str]] = []
+    orig = wand_mod._dict_point_lookup
+
+    def spy(ix, terms):
+        calls.append(list(terms))
+        return orig(ix, terms)
+
+    monkeypatch.setattr(wand_mod, "_dict_point_lookup", spy)
+    qs = DOC_QUERIES + [("qx", "zzzmissing keyword")]
+    r1 = wand_search_local(index_dir, qs, k=K)
+    n1 = len(calls)
+    assert n1 >= 1
+    r2 = wand_search_local(index_dir, qs, k=K)
+    assert len(calls) == n1, "second batch re-read the dictionary"
+    assert r1.equals(r2)

@@ -76,8 +76,9 @@ def test_wand_search_plan(spark):
 
 
 def test_wand_search_filtered_plan(spark):
-    """The doc_filter path keeps the cogroup-by-shard topology (filter ids
-    must meet their shard's blocks) — and stays row-Python-free."""
+    """The doc_filter fast path shuffles ONLY the 8-byte filter-id rows
+    (grouped by doc shard); blocks are pyarrow-read inside each group task
+    — no cogroup, no Exchange of block bytes, no row-Python."""
     from colbert_live_spark.entry_queries import built_index
     from colbert_live_spark.operators.wand import wand_search
     from colbert_live_spark.queryset import DOC_QUERIES
@@ -86,5 +87,41 @@ def test_wand_search_filtered_plan(spark):
     en = docs.filter(F.col("lang") == "en").select("doc_id")
     df = wand_search(spark, idx, DOC_QUERIES, k=10, doc_filter=en)
     plan = physical_plan(df)
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+    # the only pre-merge Exchange keys on the filter ids' shard column —
+    # block bytes (the postings scan) never appear upstream of a shuffle
+    assert "hashpartitioning(salt" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_segment_search_plan(spark):
+    """Segmented serving fast path: one MapInPandas task per (segment,
+    postings file), no cogroup, no block-byte shuffle (VERDICT r3 ask #1)."""
+    from colbert_live_spark.entry_queries import built_live_root
+    from colbert_live_spark.index.segments import segment_search
+    from colbert_live_spark.queryset import DOC_QUERIES
+    root = built_live_root(spark, "/root/testdata/sf0.001")
+    df = segment_search(spark, root, DOC_QUERIES, k=10)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(salt" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_segment_search_tombstoned_plan(spark):
+    """Tombstones below the broadcast cap keep the file-task topology (the
+    exclude set rides the broadcast, not a cogroup)."""
+    from colbert_live_spark.entry_queries import built_deleted_root
+    from colbert_live_spark.index.segments import segment_search
+    from colbert_live_spark.queryset import DOC_QUERIES
+    root = built_deleted_root(spark, "/root/testdata/sf0.001")
+    df = segment_search(spark, root, DOC_QUERIES, k=10)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "hashpartitioning(salt" not in plan
