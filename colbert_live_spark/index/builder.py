@@ -61,9 +61,11 @@ RUN_SCHEMA = "term string, doc_id long, tf int, dl int"
 BLOCK_SCHEMA = ("term_id long, salt int, block_id int, first_doc long, "
                 "last_doc long, n int, max_weight double, "
                 "docs binary, tfs binary, dls binary")
-# pre-shuffle partial blocks (no block_id/last_doc/max_weight — those are
-# assigned after the global per-(term,salt) merge)
+# pre-shuffle packed partial runs (fixed-width streams + per-chunk width
+# codes; no block_id/last_doc/max_weight — those are assigned after the
+# global per-(term,salt) merge)
 PARTIAL_BLOCK_SCHEMA = ("term_id long, salt int, first_doc long, n int, "
+                        "dw tinyint, tw tinyint, lw tinyint, "
                         "docs binary, tfs binary, dls binary")
 LEDGER_SCHEMA = ("gid int, stage string, n_docs long, n_postings long, "
                  "bytes long, wall_ms long, files string")
@@ -198,6 +200,17 @@ def build_runs(
         # second pass re-tokenizes: cheaper than caching the token arrays
         toks.select("doc_id", F.size("tokens").alias("dl")).write.mode(
             "overwrite").parquet(f"{out_dir}/doclens/gid={gid}")
+        # per-group partial term dfs (vocab-sized): groups partition docs,
+        # so global df = Σ group dfs. Checkpointing this here moves the
+        # merge's dictionary pass OFF its critical path — the merge phase
+        # scales worst (measured 2.0-2.6× at 1M on 2→8 cores vs 2.9-4.35×
+        # for the runs phase), so every full runs scan moved into stage 1
+        # improves whole-build scaling; it also re-aggregates per GROUP on
+        # resume, never globally.
+        (spark.read.parquet(run_path).groupBy("term")
+         .agg(F.count(F.lit(1)).cast("long").alias("df"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{out_dir}/dfs/gid={gid}"))
         # counts from parquet footers — driver-side, no Spark jobs
         n_docs = _parquet_rows(f"{out_dir}/doclens/gid={gid}")
         n_post = _parquet_rows(run_path)
@@ -285,13 +298,19 @@ def merge_index(
     doc_meta: DataFrame | None = None,
     doc_shards: int | None = None,
     doc_shards_headroom: int = 1,
-    pre_encode: bool = True,
+    pre_encode: bool = False,
 ) -> None:
     """Stage 2: runs → dictionary + compressed term-sharded postings + stats.
 
-    ``pre_encode``: varint-encode partial blocks on the map side so the
-    merge-shuffle moves compressed bytes (default; ``False`` shuffles raw
-    posting rows — kept for A/B benchmarking). Results are byte-identical.
+    ``pre_encode``: fixed-width-pack partial runs on the map side so the
+    merge Exchange moves ~6-10 B/posting instead of ~30-50 B/posting of
+    raw rows. Results are byte-identical (tested) either way. DEFAULT OFF:
+    this targets network-shuffle clusters, where shuffle bytes cross NICs;
+    on this sandbox's single-bus local mode the raw shuffle never leaves
+    the page cache and the pack path's extra Arrow crossing + numpy passes
+    measurably LOSE (1M docs, merge phase: raw 120s vs pack 237s at 8
+    cores, 242s vs 339s at 2 — recorded negative result, BENCH/ANALYSIS).
+    On a real cluster turn it on when the merge is network-bound.
 
     ``doc_shards`` (D): the global doc-shard count. salt = hash(doc_id) mod D
     for EVERY term, so shard s is a complete mini-index of its doc subset —
@@ -330,7 +349,21 @@ def merge_index(
                  schema=pa.schema([("n_docs", pa.int64()),
                                    ("avgdl", pa.float64())])))
 
-    df_t = runs.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # dictionary dfs: prefer the stage-1 per-group partials (vocab-sized
+    # scan instead of a full postings scan — the merge phase is the
+    # worst-scaling one); fall back to the full runs aggregation for roots
+    # whose runs were produced without dfs (e.g. compact()'s rewrite path)
+    def _gid_dirs(sub: str) -> set[str]:
+        return {f.rsplit("/", 2)[-2] for f in
+                fsio.list_files(f"{out_dir}/{sub}", ".parquet")}
+
+    if _gid_dirs("dfs") and _gid_dirs("dfs") >= _gid_dirs("runs"):
+        df_t = (spark.read.option("recursiveFileLookup", "true")
+                .parquet(f"{out_dir}/dfs")
+                .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
+    else:
+        df_t = runs.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"))
     raw_dict = _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
     dict_df = raw_dict.select(
         "term", "term_id", "df",
@@ -373,33 +406,57 @@ def merge_index(
     # uniformly across the doc_shards salts; the per-(term,salt) group
     # bound (≤ salt_rows) is unchanged.
     if pre_encode:
-        # Encode partial blocks BEFORE the shuffle: each map task locally
-        # sorts its slice by (term_id, salt, doc_id) and varint-encodes
-        # per-(term,salt) sub-lists, so the Exchange moves ~4-6 B/posting
-        # of compressed bytes instead of ~30-50 B/posting of raw rows — the
-        # merge-shuffle was the measured 1M-doc build scaling bottleneck
-        # (the one-bus shuffle volume does not parallelize). The reduce
-        # side decodes its salt's partials, merges the doc-sorted runs, and
-        # re-encodes final blocks — byte-identical to encoding the raw rows
-        # directly (tested), since the merged (doc, tf, dl) arrays are
-        # identical. Codec CPU is whole-array numpy and fully parallel.
-        pre = tagged.sortWithinPartitions("term_id", "salt", "doc_id")
+        # Pack partial runs BEFORE the shuffle, so the Exchange moves
+        # ~6-10 B/posting of fixed-width packed bytes instead of
+        # ~30-50 B/posting of raw rows — the merge-shuffle was the measured
+        # 1M-doc build scaling bottleneck (one-bus shuffle volume does not
+        # parallelize). Two measured dead ends shaped this design:
+        # (a) a Spark sortWithinPartitions of the raw posting rows before
+        # packing cost 33% of absolute build throughput — each map task
+        # instead np.lexsorts its ~4M-row chunks in-process; a group split
+        # across chunks just yields more partial fragments, which the
+        # reduce merges anyway; (b) varint-encoding the partials cost ~25
+        # whole-array passes per stream and DOUBLED build wall — the
+        # fixed-width pack codec (astype+tobytes / frombuffer+cumsum,
+        # per-chunk width selection) keeps ~80% of the byte reduction at
+        # ~10× less CPU. The reduce side Spark-sorts only the packed RUN
+        # rows (~|distinct (term,salt)| × chunks, ≪ postings), then
+        # unpacks, np.lexsorts, and varint-encodes final blocks —
+        # byte-identical to encoding the raw rows directly (tested), since
+        # the merged (doc, tf, dl) arrays are identical.
 
         def encode_partials(it):
             import numpy as np
             import pandas as pd
-            for chunk in _complete_group_chunks(it, 4_000_000):
-                cols = codec.encode_lists_columns(
-                    chunk["term_id"].to_numpy(np.int64),
-                    chunk["salt"].to_numpy(np.int32),
-                    chunk["doc_id"].to_numpy(np.int64),
-                    chunk["tf"].to_numpy(np.int64),
-                    chunk["dl"].to_numpy(np.int64),
-                    avgdl, block_size, partial=True)
-                yield pd.DataFrame(cols)
 
-        partials = pre.mapInPandas(encode_partials,
-                                   schema=PARTIAL_BLOCK_SCHEMA)
+            def flush(buf):
+                chunk = (pd.concat(buf, ignore_index=True)
+                         if len(buf) > 1 else buf[0])
+                t = chunk["term_id"].to_numpy(np.int64)
+                s = chunk["salt"].to_numpy(np.int32)
+                d = chunk["doc_id"].to_numpy(np.int64)
+                tf = chunk["tf"].to_numpy(np.int64)
+                dl = chunk["dl"].to_numpy(np.int64)
+                o = np.lexsort((d, s, t))
+                cols = codec.pack_lists_columns(t[o], s[o], d[o], tf[o],
+                                                dl[o])
+                return pd.DataFrame(cols)
+
+            buf: list = []
+            n = 0
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                buf.append(pdf)
+                n += len(pdf)
+                if n >= 4_000_000:
+                    yield flush(buf)
+                    buf, n = [], 0
+            if buf:
+                yield flush(buf)
+
+        partials = tagged.mapInPandas(encode_partials,
+                                      schema=PARTIAL_BLOCK_SCHEMA)
         parted = (partials.repartition(doc_shards, "salt")
                   .sortWithinPartitions("term_id", "salt", "first_doc"))
 
@@ -411,9 +468,12 @@ def merge_index(
             # how large one salt's reduce partition grows at scale
             for chunk in _complete_group_chunks(it, 2_000_000,
                                                 count_col="n"):
-                d, tf, dl = codec.decode_blocks(
+                d, tf, dl = codec.unpack_blocks(
                     chunk["first_doc"].to_numpy(np.int64),
                     chunk["n"].to_numpy(np.int64),
+                    chunk["dw"].to_numpy(np.int8),
+                    chunk["tw"].to_numpy(np.int8),
+                    chunk["lw"].to_numpy(np.int8),
                     chunk["docs"].to_list(), chunk["tfs"].to_list(),
                     chunk["dls"].to_list())
                 ns = chunk["n"].to_numpy(np.int64)
@@ -511,7 +571,7 @@ def build_index(
     doc_shards: int | None = None,
     doc_shards_headroom: int = 1,
     max_concurrency: int = 1,
-    pre_encode: bool = True,
+    pre_encode: bool = False,
 ) -> None:
     """Full build: checkpointed runs then merge. Safe to re-invoke after a
     failure — completed run groups are skipped via the ledger."""

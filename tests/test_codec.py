@@ -100,3 +100,82 @@ def test_block_max_weight_is_max():
     for b0, blk in zip(range(0, 300, BLOCK_SIZE), blocks):
         w = bm25_weight_np(tfs[b0:b0 + BLOCK_SIZE], dls[b0:b0 + BLOCK_SIZE], 50.0)
         assert blk["max_weight"] == w.max()
+
+
+# ------------------------------------------------ multi-list + pack codecs
+
+def test_encode_lists_columns_matches_per_group():
+    """The vectorized multi-list encoder must be byte-identical to calling
+    the single-list encoder per (term, salt) group."""
+    import numpy as np
+    from colbert_live_spark.index.codec import (encode_lists_columns,
+                                                encode_posting_list_columns)
+    rng = np.random.RandomState(11)
+    rows = []
+    for t in range(4):
+        for s in range(3):
+            n = rng.randint(1, 400)
+            d = np.sort(rng.choice(10_000, size=n, replace=False))
+            rows.append((t, s, d, rng.randint(1, 20, n),
+                         rng.randint(5, 500, n)))
+    term = np.concatenate([np.full(r[2].size, r[0]) for r in rows]).astype(np.int64)
+    salt = np.concatenate([np.full(r[2].size, r[1]) for r in rows]).astype(np.int32)
+    doc = np.concatenate([r[2] for r in rows]).astype(np.int64)
+    tf = np.concatenate([r[3] for r in rows]).astype(np.int64)
+    dl = np.concatenate([r[4] for r in rows]).astype(np.int64)
+    multi = encode_lists_columns(term, salt, doc, tf, dl, 123.4, 128)
+    ref = {k: [] for k in multi}
+    for (t, s, d, tfs, dls) in rows:
+        cols = encode_posting_list_columns(
+            d.astype(np.int64), np.asarray(tfs, np.int64),
+            np.asarray(dls, np.int64), 123.4, 128)
+        nb = len(cols["block_id"])
+        ref["term_id"].extend([t] * nb)
+        ref["salt"].extend([s] * nb)
+        for k in ("block_id", "first_doc", "last_doc", "n", "max_weight",
+                  "docs", "tfs", "dls"):
+            ref[k].extend(list(cols[k]))
+    for k in multi:
+        assert list(multi[k]) == list(ref[k]), k
+
+
+def test_pack_unpack_roundtrip_mixed_widths():
+    """Fixed-width pack codec: roundtrip identity including u64 doc deltas
+    (10^12-doc gaps) and mixed per-chunk widths concatenated at the merge."""
+    import numpy as np
+    from colbert_live_spark.index.codec import (pack_lists_columns,
+                                                unpack_blocks)
+    rng = np.random.RandomState(5)
+    rows = []
+    for t in range(5):
+        for s in range(2):
+            if t == 4:
+                d = np.unique(rng.randint(0, 10**12, 50).astype(np.int64))
+            else:
+                d = np.sort(rng.choice(10_000, size=rng.randint(2, 200),
+                                       replace=False)).astype(np.int64)
+            n = d.size
+            rows.append((t, s, d, rng.randint(1, 300, n),
+                         rng.randint(5, 70_000, n)))
+    term = np.concatenate([np.full(r[2].size, r[0]) for r in rows]).astype(np.int64)
+    salt = np.concatenate([np.full(r[2].size, r[1]) for r in rows]).astype(np.int32)
+    doc = np.concatenate([r[2] for r in rows]).astype(np.int64)
+    tf = np.concatenate([r[3] for r in rows]).astype(np.int64)
+    dl = np.concatenate([r[4] for r in rows]).astype(np.int64)
+    # split into two "chunks" with independent width choices
+    cut = term.size // 2
+    parts = [pack_lists_columns(term[:cut], salt[:cut], doc[:cut],
+                                tf[:cut], dl[:cut]),
+             pack_lists_columns(term[cut:], salt[cut:], doc[cut:],
+                                tf[cut:], dl[cut:])]
+    import numpy as np
+    fd = np.concatenate([p["first_doc"] for p in parts])
+    ns = np.concatenate([p["n"] for p in parts])
+    dw = np.concatenate([p["dw"] for p in parts])
+    tw = np.concatenate([p["tw"] for p in parts])
+    lw = np.concatenate([p["lw"] for p in parts])
+    db = list(parts[0]["docs"]) + list(parts[1]["docs"])
+    tb = list(parts[0]["tfs"]) + list(parts[1]["tfs"])
+    lb = list(parts[0]["dls"]) + list(parts[1]["dls"])
+    d2, tf2, dl2 = unpack_blocks(fd, ns, dw, tw, lw, db, tb, lb)
+    assert (d2 == doc).all() and (tf2 == tf).all() and (dl2 == dl).all()
