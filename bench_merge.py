@@ -31,6 +31,20 @@ def main() -> None:
     for r in extras:
         runs.setdefault(int(r["cores"]), []).append(r)
 
+    # The best-of estimator's validity rests on EQUAL sampling effort per
+    # level (advice r4: a warning alone still lets an over-sampled level
+    # bias the published efficiency). Trim every level to the minimum
+    # common sample count — keeping the FIRST n samples in arrival order,
+    # i.e. the chronologically alternating windows both levels share —
+    # and record the trim so the merge stays auditable.
+    n_min = min(len(rs) for rs in runs.values())
+    trimmed = {lv: len(rs) - n_min for lv, rs in runs.items()}
+    if any(trimmed.values()):
+        print(f"trimming to {n_min} samples/level (dropped: "
+              f"{ {lv: n for lv, n in trimmed.items() if n} })",
+              file=sys.stderr)
+        runs = {lv: rs[:n_min] for lv, rs in runs.items()}
+
     results = {}
     for lv, rs in runs.items():
         best = dict(rs[0])
@@ -44,15 +58,9 @@ def main() -> None:
         best["all_digests"] = sorted({r["result_digest"] for r in rs})
         results[lv] = best
 
-    # the best-of estimator's validity rests on EQUAL sampling effort per
-    # level and identical code (same result digest) — enforce, don't just
-    # record (advice r3): unequal effort or divergent digests would let a
-    # lucky level overstate the scaling efficiency
-    counts = {lv: len(rs) for lv, rs in runs.items()}
-    if len(set(counts.values())) != 1:
-        print(f"WARNING: unequal samples per level {counts} — best-of "
-              "favors the over-sampled level; rerun the missing windows",
-              file=sys.stderr)
+    # identical code across all samples (same result digest) — enforce,
+    # don't just record (advice r3): divergent digests would mean the
+    # levels are not runs of the same code/input
     all_digests = {r["result_digest"] for rs in runs.values() for r in rs}
     if len(all_digests) != 1:
         raise SystemExit(
@@ -81,6 +89,8 @@ def main() -> None:
         query_ratio / delivered, 3)
     out["results_identical_across_levels"] = len(digests) == 1
     out["merged_from_samples"] = len(sys.argv) - 2
+    out["samples_trimmed_per_level"] = {str(lv): trimmed[lv]
+                                        for lv in sorted(trimmed)}
     json.dump(out, open("BENCH/scaling.json", "w"), indent=2)
     print(json.dumps({k: out[k] for k in (
         "rows", "n_samples_per_level", "build_scaling_efficiency",

@@ -151,7 +151,8 @@ def cmd_ingest_stream(args) -> None:
     t0 = time.time()
     ingest_stream(spark, args.input, schema, args.root,
                   checkpoint=args.checkpoint, id_col=args.id_col,
-                  text_col=args.text_col, preserve_ids=args.preserve_ids)
+                  text_col=args.text_col, preserve_ids=args.preserve_ids,
+                  key_col=args.key_col)
     m = _read_manifest(args.root)
     print(json.dumps({"root": args.root,
                       "segments": len(m["segments"]),
@@ -233,6 +234,9 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--input", required=True)
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--id-col", default="doc_id")
+    st.add_argument("--key-col", default="url",
+                    help="natural key used to assign dense ids when id-col "
+                         "is absent from the stream")
     st.add_argument("--text-col", default="text")
     st.add_argument("--preserve-ids", action="store_true")
     st.set_defaults(fn=cmd_ingest_stream)

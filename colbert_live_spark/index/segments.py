@@ -64,8 +64,10 @@ DEFAULT_DOC_SHARDS = 16
 def _read_manifest(root: str) -> dict:
     p = f"{root}/{MANIFEST}"
     if not fsio.exists(p):
+        # ns_version 2 marks roots created AFTER stream-id namespacing; its
+        # absence identifies legacy roots for add_segment's migration seed.
         return {"segments": [], "next_doc_base": 0, "seq": 0,
-                "doc_shards": None, "last_batch_id": -1,
+                "doc_shards": None, "last_batch_id": -1, "ns_version": 2,
                 "tombstones": {"files": [], "delta_files": [],
                                "n_deleted": 0, "deleted_dl": 0}}
     m = json.loads(fsio.read_text(p))
@@ -121,8 +123,22 @@ def add_segment(
     """
     m = _read_manifest(root)
     sid = stream_id if stream_id is not None else "_default"
-    last = m.get("stream_batch_ids", {}).get(
-        sid, m["last_batch_id"] if sid == "_default" else -1)
+    streams = m.get("stream_batch_ids", {})
+    if sid == "_default":
+        last = streams.get(sid, m["last_batch_id"])
+    elif sid in streams:
+        last = streams[sid]
+    elif m.get("ns_version", 1) < 2 and m["last_batch_id"] >= 0:
+        # Legacy-root migration guard (advice r4): this root committed
+        # batches BEFORE stream-id namespacing existed, under the default
+        # token. A named stream resuming it would otherwise start its
+        # namespace at -1 and re-ingest one in-flight replayed micro-batch
+        # as a duplicate segment. Seed the new namespace from the legacy
+        # token (single-writer-per-default-namespace was that era's
+        # contract, so the legacy batches were this stream's).
+        last = m["last_batch_id"]
+    else:
+        last = -1
     if batch_id is not None and batch_id <= last:
         return None  # replayed micro-batch: already ingested
 
@@ -131,6 +147,20 @@ def add_segment(
             m.setdefault("stream_batch_ids", {})[sid] = batch_id
             if sid == "_default":
                 m["last_batch_id"] = batch_id
+        m["ns_version"] = 2  # first post-migration commit upgrades the root
+
+    # Record the root's id mode on first ingest and refuse mode changes
+    # (advice r4): a preserve_ids batch whose natural ids collide with
+    # already-assigned offset ids would silently double-count those docs.
+    mode = "preserve" if preserve_ids else "offset"
+    prev_mode = m.get("id_mode")
+    if prev_mode is not None and prev_mode != mode:
+        raise ValueError(
+            f"root {root} was ingested with id_mode={prev_mode!r}; refusing "
+            f"a {mode!r} batch — mixing modes can silently double-count any "
+            "natural id that collides with an assigned offset id. Use a "
+            "fresh root (or compact and re-ingest under one mode).")
+    m["id_mode"] = mode
 
     base = 0 if preserve_ids else m["next_doc_base"]
     seg = f"seg{m['seq']:05d}"
@@ -393,6 +423,31 @@ def _fast_path_search(spark, root, m, seg_dicts, gterm_id, bc, avgdl, k,
     return merge_topk(partial, k)
 
 
+def _segment_dicts(root: str, seg_names: list[str], terms: list[str],
+                   max_workers: int = 16) -> dict[str, dict]:
+    """{segment -> {term -> (term_id, df)}} via concurrent driver-side
+    pyarrow point-reads of each segment's term-sorted dictionary."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.dataset as pads
+    if not terms or not seg_names:
+        return {s: {} for s in seg_names}
+
+    def one(seg: str) -> tuple[str, dict]:
+        fs, p = fsio.resolve(f"{root}/segments/{seg}/dict")
+        t = (pads.dataset(p, format="parquet", filesystem=fs)
+             .to_table(filter=pruning_isin("term", terms),
+                       columns=["term", "term_id", "df"]))
+        return seg, {term: (int(tid), int(df)) for term, tid, df in
+                     zip(t.column("term").to_pylist(),
+                         t.column("term_id").to_pylist(),
+                         t.column("df").to_pylist())}
+
+    with ThreadPoolExecutor(max_workers=min(max_workers,
+                                            len(seg_names))) as ex:
+        return dict(ex.map(one, seg_names))
+
+
 def segment_search(
     spark: SparkSession,
     root: str,
@@ -418,24 +473,20 @@ def segment_search(
     doc_shards = m["doc_shards"] or DEFAULT_DOC_SHARDS
 
     all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
-    # ONE unioned dictionary-lookup job across all segments (|terms| rows
-    # per segment — driver-serialized per-segment jobs would Amdahl-cap a
-    # 1000-segment root)
-    dict_parts = []
-    for s in m["segments"]:
-        dict_parts.append(
-            spark.read.parquet(f"{root}/segments/{s['name']}/dict")
-            .filter(F.col("term").isin(all_terms))
-            .select(F.lit(s["name"]).alias("seg"), "term", "term_id", "df"))
-    dicts = dict_parts[0]
-    for p in dict_parts[1:]:
-        dicts = dicts.unionByName(p)
-    rows = dicts.collect()
-    seg_dicts: dict[str, dict[str, tuple[int, int]]] = {}
+    # Per-segment dictionary lookups as DRIVER-SIDE pyarrow point-reads
+    # (same row-group-pruned pruning_isin path as the monolithic serving
+    # dictionary), fanned out over a thread pool — pyarrow releases the
+    # GIL, so segments resolve concurrently. This replaced a single
+    # unioned Spark job: that job was ~0.5-1 s of fixed per-batch overhead
+    # that is the same at 2 and at 8 cores (it directly ate query scaling
+    # efficiency), while the point-read is O(matched row groups) per
+    # segment and a few ms each.
+    seg_dicts = _segment_dicts(root, [s["name"] for s in m["segments"]],
+                               all_terms)
     global_df: dict[str, int] = {}
-    for r in rows:
-        seg_dicts.setdefault(r.seg, {})[r.term] = (r.term_id, r.df)
-        global_df[r.term] = global_df.get(r.term, 0) + r.df
+    for sd in seg_dicts.values():
+        for term, (_tid, df) in sd.items():
+            global_df[term] = global_df.get(term, 0) + df
     # subtract tombstoned occurrences (exact deltas captured at delete time)
     for term, ddf in _df_deltas(spark, root, m, list(global_df)).items():
         global_df[term] = global_df.get(term, 0) - ddf

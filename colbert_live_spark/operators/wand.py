@@ -633,8 +633,13 @@ def merge_topk(partial: DataFrame, k: int) -> DataFrame:
 
 # index_dir -> (meta_text, hot-term cache {term: (tid, idf) | None}, avgdl).
 # ``None`` entries are negative hits (term absent from the index) so
-# repeated unknown-term queries don't re-read the dictionary.
+# repeated unknown-term queries don't re-read the dictionary. The per-index
+# cache is an LRU bounded at _DICT_CACHE_MAX entries (positive AND negative
+# alike — an adversarial stream of distinct absent terms must not grow
+# driver memory without bound, advice r4); evicted terms simply fall back
+# to the point-lookup path on their next appearance.
 _DICT_CACHE: dict[str, tuple[str, dict, float]] = {}
+_DICT_CACHE_MAX = 65536  # ~hot web working set; ≈4 MB of (term, id, idf)
 
 
 def _local_dict(index_dir: str, terms: list[str]) -> tuple[dict, float]:
@@ -663,7 +668,16 @@ def _local_dict(index_dir: str, terms: list[str]) -> tuple[dict, float]:
         found = _dict_point_lookup(index_dir, misses)
         for t in misses:
             cache[t] = found.get(t)  # None = negative cache entry
-    return {t: cache[t] for t in terms}, avgdl
+    out = {}
+    for t in terms:
+        # LRU touch: dicts iterate in insertion order, so re-inserting a
+        # hit moves it to the back; eviction pops the front (oldest)
+        v = cache.pop(t)
+        cache[t] = v
+        out[t] = v
+    while len(cache) > _DICT_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    return out, avgdl
 
 
 def wand_search_local(

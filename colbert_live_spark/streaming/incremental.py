@@ -45,12 +45,12 @@ def ingest_stream(
 
     One-time migration note: roots whose batches were committed BEFORE
     stream-id namespacing existed recorded them under the default token
-    (``last_batch_id``). Resuming such a stream with a named checkpoint
-    starts its namespace at -1, so ONE in-flight replayed micro-batch could
-    re-ingest as a duplicate segment. Either keep the default namespace
-    (don't pass a checkpoint-derived stream id for legacy roots) or seed
-    ``stream_batch_ids[<checkpoint>] = last_batch_id`` in MANIFEST.json
-    once before resuming.
+    (``last_batch_id``). :func:`add_segment` now guards this in code: on
+    first use of a named stream against a legacy manifest (no
+    ``ns_version`` marker, ``last_batch_id`` >= 0, no entry for the
+    stream) it seeds the new namespace from the legacy token, so the one
+    in-flight replayed micro-batch a resume can deliver is dropped as the
+    replay it is instead of re-ingesting as a duplicate segment.
 
     ``preserve_ids``: forward to :func:`add_segment` — for corpora with
     globally unique natural keys, results become independent of the order
