@@ -128,10 +128,29 @@ def _run(sf_dir: str, sf: str, n_repeats: int, idx_root: str) -> None:
     maxsim_recall10 = recall("maxsim_topk_ivf", "maxsim_topk", "doc_id")
     maxsim_capped_recall10 = recall("maxsim_topk_ivf_capped", "maxsim_topk",
                                     "doc_id")
+
+    # the capped rescore on the CLUSTERED corpus derivation: exact baseline
+    # computed on the same transformed vectors (not a queries() entry — the
+    # entry oracle already proves the capped pipeline; this is the recall
+    # evidence that the cap's cost is the uniform corpus, not the cut)
+    from colbert_live_spark import entry_queries_pipeline as pl
+    from colbert_live_spark.operators import similarity
+    cemb = pl.clustered_emb(pl._emb(spark, sf_dir))
+    cl_exact = {}
+    for r in similarity.maxsim_topk(cemb, pl.MAXSIM_QUERIES, pl.MAXSIM_K,
+                                    tokens_per_doc=pl.MAXSIM_T).collect():
+        cl_exact.setdefault(r.query_id, set()).add(r.doc_id)
+    cl_approx = topk_sets("maxsim_capped_clustered", "doc_id")
+    crs = [len(cl_exact[q] & cl_approx.get(q, set())) / len(cl_exact[q])
+           for q in cl_exact if cl_exact[q]]
+    maxsim_capped_clustered_recall10 = (round(sum(crs) / len(crs), 4)
+                                        if crs else None)
     print(f"# recall@10 vs exact: knn_ivf={recall10} "
           f"knn_ivf_sampled={recall10_sampled} "
           f"maxsim_ivf={maxsim_recall10} "
-          f"maxsim_ivf_capped={maxsim_capped_recall10}", file=sys.stderr)
+          f"maxsim_ivf_capped={maxsim_capped_recall10} "
+          f"maxsim_capped_clustered={maxsim_capped_clustered_recall10}",
+          file=sys.stderr)
 
     # low-latency local serving mode p50 (zero Spark jobs; see wand.py)
     from colbert_live_spark.operators.wand import wand_search_local
@@ -158,6 +177,8 @@ def _run(sf_dir: str, sf: str, n_repeats: int, idx_root: str) -> None:
         "knn_ivf_sampled_recall_at_10": recall10_sampled,
         "maxsim_ivf_recall_at_10": maxsim_recall10,
         "maxsim_ivf_capped_recall_at_10": maxsim_capped_recall10,
+        "maxsim_capped_clustered_recall_at_10":
+            maxsim_capped_clustered_recall10,
         "local_query_p50_s": local_p50,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

