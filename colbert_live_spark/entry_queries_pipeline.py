@@ -43,10 +43,14 @@ MAXSIM_NPROBE = 8       # per-token probe width (recall ≥ 0.9 on the
 # uniform corpus; see IVF_SAMPLED_NPROBE note)
 MAXSIM_NCAND = 64       # n_maxsim_candidates for the CAPPED variant — the
 # reference's rescore-budget cut (`colbert_live/colbert_live.py:199-200`,
-# `_expand` f(10)=20 scaled to our T·n_ann=160 union); measured recall
-# cost on this uniform corpus: 0.96 → 0.86 (bench-reported) because the
-# best-single-token-cosine proxy ranks a 4-token sum poorly without
-# cluster structure
+# `_expand` f(10)=20 scaled to our T·n_ann=160 union)
+MAXSIM_CAPPED_NPROBE = 10  # probe width at the capped operating point.
+# The reference tunes probe width alongside its rescore budget
+# (`example/bench/lotte.py:119-124`); with the fused sum-of-token-cosine
+# candidate ordering (similarity.maxsim_topk_ivf step 3) this holds
+# recall@10 ≥ 0.9 on the uniform (ANN-hard) corpus at the SAME rescore
+# budget — replica sweep: best-single-token ordering 0.86@nprobe=8 /
+# 0.88@10; fused ordering 0.88@8 / 0.94@10 (bench-reported each round)
 
 
 def _docs(spark, sf_dir):
@@ -181,13 +185,15 @@ def q_maxsim_topk_ivf(spark, sf_dir):
 def q_maxsim_topk_ivf_capped(spark, sf_dir):
     """The serving loop WITH the reference's n_maxsim_candidates rescore
     budget (C5, `colbert_live/colbert_live.py:199-200`): the candidate
-    union is cut to MAXSIM_NCAND by best-observed per-token cosine before
-    the exact rescore — bounds rescore cost at large T·nprobe·n_ann. Its
-    recall cost on this cluster-free corpus is reported in BENCH next to
-    the uncapped entry."""
+    union is cut to MAXSIM_NCAND by FUSED observed evidence (sum of
+    per-token best cosines — the reference's fuse-before-cut shape,
+    `colbert_live.py:189-200`) before the exact rescore — bounds rescore
+    cost at large T·nprobe·n_ann. Recall on this cluster-free corpus is
+    reported in BENCH next to the uncapped entry."""
     return (similarity.maxsim_topk_ivf(
         _emb(spark, sf_dir), MAXSIM_QUERIES, MAXSIM_K,
-        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C, nprobe=MAXSIM_NPROBE,
+        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C,
+        nprobe=MAXSIM_CAPPED_NPROBE,
         n_ann=MAXSIM_NANN, train_sample=IVF_TRAIN_SAMPLE,
         n_maxsim_candidates=MAXSIM_NCAND)
             .withColumn("score", F.round("score", ROUND)))
@@ -201,7 +207,8 @@ def q_maxsim_capped_clustered(spark, sf_dir):
     on both corpora side by side (uniform 0.86 vs clustered ≈1)."""
     return (similarity.maxsim_topk_ivf(
         clustered_emb(_emb(spark, sf_dir)), MAXSIM_QUERIES, MAXSIM_K,
-        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C, nprobe=MAXSIM_NPROBE,
+        tokens_per_doc=MAXSIM_T, n_centroids=IVF_C,
+        nprobe=MAXSIM_CAPPED_NPROBE,
         n_ann=MAXSIM_NANN, train_sample=IVF_TRAIN_SAMPLE,
         n_maxsim_candidates=MAXSIM_NCAND)
             .withColumn("score", F.round("score", ROUND)))
@@ -586,13 +593,18 @@ cand AS (
     FROM tok_hits) WHERE r <= {MAXSIM_NANN}
 )"""
     else:
-        # the n_maxsim_candidates cut: rank the surviving union by best
-        # observed per-token cosine (identical c values in both engines;
-        # doc tie-break) — mirrors similarity.maxsim_topk_ivf exactly
+        # the n_maxsim_candidates cut: rank the surviving union by FUSED
+        # observed evidence — per-token best observed cosine (max is
+        # order-free selection), then an explicit left-to-right sum over
+        # the T query tokens with missing tokens as 0.0, bit-identical to
+        # similarity.maxsim_topk_ivf's Spark plan; doc tie-break
+        fused_sql = " + ".join(
+            f"coalesce(max(CASE WHEN qtpos = {t} THEN c END), 0.0)"
+            for t in range(MAXSIM_T))
         cand_sql = f"""
 hits AS (
-  SELECT query_id, cdoc, c FROM (
-    SELECT query_id, cdoc, c,
+  SELECT query_id, qtpos, cdoc, c FROM (
+    SELECT query_id, qtpos, cdoc, c,
            row_number() OVER (PARTITION BY query_id, qtpos
                               ORDER BY c DESC, vec_id ASC) AS r
     FROM tok_hits) WHERE r <= {MAXSIM_NANN}
@@ -601,7 +613,7 @@ cand AS (
   SELECT query_id, cdoc AS doc_id FROM (
     SELECT query_id, cdoc,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY max(c) DESC, cdoc ASC) AS cr
+                              ORDER BY ({fused_sql}) DESC, cdoc ASC) AS cr
     FROM hits GROUP BY query_id, cdoc) WHERE cr <= {n_cand}
 )"""
     return f"""
@@ -756,9 +768,11 @@ WHERE {cos_ab} >= {NEARDUP_COS}
         "knn_ivf_sampled": ivf_sampled_body,
         "maxsim_topk": _maxsim_sql(),
         "maxsim_topk_ivf": _maxsim_ivf_sql(),
-        "maxsim_topk_ivf_capped": _maxsim_ivf_sql(n_cand=MAXSIM_NCAND),
+        "maxsim_topk_ivf_capped": _maxsim_ivf_sql(
+            nprobe=MAXSIM_CAPPED_NPROBE, n_cand=MAXSIM_NCAND),
         "maxsim_capped_clustered": _maxsim_ivf_sql(
-            n_cand=MAXSIM_NCAND, vecs_cte=_VECS_CLUSTERED),
+            nprobe=MAXSIM_CAPPED_NPROBE, n_cand=MAXSIM_NCAND,
+            vecs_cte=_VECS_CLUSTERED),
         "text_stats": f"""
 SELECT doc_id,
        {ts.sql_token_count('text')}::INT AS n_tokens,
