@@ -58,6 +58,9 @@ def _run(sf_dir: str, sf: str, n_repeats: int, idx_root: str) -> None:
         "bm25_conjunctive",
         "bm25_lang_filtered",
         "bm25_filtered_wand",
+        "bm25_phrase",
+        "bm25_phrase_wand",
+        "doc_keywords",
         "rrf_fusion",
         "topk_payload",
         "dedup_exact",

@@ -17,7 +17,12 @@ the Lucene/LSM pattern:
   runs at delete time. Queries anti-filter tombstoned ids inside the
   scorer and correct N / avgdl / df→idf, so results are exactly what a
   from-scratch rebuild without those docs would produce (tested).
-- ``update_docs`` = delete + re-add as a new segment ("modify").
+- ``update_docs`` = delete + re-add as a new segment ("modify"), committed
+  as ONE atomic manifest swap: both phases stage data files first and a
+  single manifest write makes them visible together, so a crash mid-update
+  can never expose the deleted-but-not-re-added intermediate state (the
+  reference's per-row upsert has no such window; tested by killing between
+  the phases).
 - ``segment_search``: queries union all active segments' matched posting
   blocks; **corpus statistics (N, avgdl, df→idf) are computed globally
   across segments (minus tombstones) at query time**. Blocks store the
@@ -122,6 +127,33 @@ def add_segment(
     committed so replay detection stays monotone.
     """
     m = _read_manifest(root)
+    seg = _stage_add(spark, docs, root, m, id_col=id_col, text_col=text_col,
+                     n_shards=n_shards, salt_rows=salt_rows,
+                     doc_shards=doc_shards, batch_id=batch_id,
+                     stream_id=stream_id, preserve_ids=preserve_ids)
+    _write_manifest(root, m)
+    return seg
+
+
+def _stage_add(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    m: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 4,
+    salt_rows: int = 1_000_000,
+    doc_shards: int | None = None,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    preserve_ids: bool = False,
+) -> str | None:
+    """:func:`add_segment` minus the manifest commit: writes the segment's
+    data files and mutates ``m`` in place; the CALLER writes the manifest.
+    Staging is what makes :func:`update_docs` atomic — both its phases
+    mutate one manifest dict and a single swap publishes them together.
+    Replay no-ops leave ``m`` untouched and return None."""
     sid = stream_id if stream_id is not None else "_default"
     streams = m.get("stream_batch_ids", {})
     if sid == "_default":
@@ -180,7 +212,6 @@ def add_segment(
     if int(meta["n_docs"]) == 0:
         fsio.delete_dir(seg_dir)
         commit_batch_id()
-        _write_manifest(root, m)
         return None
     if first:
         m["doc_shards"] = int(meta["doc_shards"])
@@ -195,7 +226,6 @@ def add_segment(
     m["next_doc_base"] = max(m["next_doc_base"], int(max_id) + 1)
     m["seq"] += 1
     commit_batch_id()
-    _write_manifest(root, m)
     return seg
 
 
@@ -258,6 +288,19 @@ def delete_docs(spark: SparkSession, root: str,
     rebuild without those docs. Already-deleted and nonexistent ids are
     ignored. Returns the number of newly deleted docs."""
     m = _read_manifest(root)
+    n = _stage_delete(spark, root, m, doc_ids)
+    if n:
+        _write_manifest(root, m)
+    return n
+
+
+def _stage_delete(spark: SparkSession, root: str, m: dict,
+                  doc_ids: DataFrame | list[int]) -> int:
+    """:func:`delete_docs` minus the manifest commit: writes the tombstone
+    and delta files and mutates ``m``; the CALLER writes the manifest (see
+    :func:`_stage_add`). Retrying after a crash regenerates the same staged
+    paths (seq and file count are unchanged until the commit) and
+    overwrites them."""
     assert m["segments"], "nothing to delete from"
     _require_doc_sharded(m, "delete_docs")
     if isinstance(doc_ids, list):
@@ -313,20 +356,33 @@ def delete_docs(spark: SparkSession, root: str,
     t["delta_files"].append(delta_rel)
     t["n_deleted"] += n_del
     t["deleted_dl"] += sdl
-    _write_manifest(root, m)
     return n_del
 
 
 def update_docs(spark: SparkSession, docs: DataFrame, root: str,
                 doc_ids: DataFrame | list[int],
                 id_col: str = "doc_id", text_col: str = "text",
+                _fail_between_phases: bool = False,
                 **segment_kw) -> str | None:
     """"Modify documents": tombstone the old versions, ingest the new ones
-    as a fresh segment (delete + add — the LSM update)."""
-    n = delete_docs(spark, root, doc_ids)
-    assert n >= 0
-    return add_segment(spark, docs, root, id_col=id_col, text_col=text_col,
-                       **segment_kw)
+    as a fresh segment (delete + add — the LSM update).
+
+    Atomic: both phases only STAGE data files (tombstones, segment dirs)
+    against one in-memory manifest dict; a single
+    :func:`_write_manifest` swap at the end publishes them together. A
+    crash at any earlier point leaves the manifest — and therefore every
+    concurrent reader — on the pre-update state (never the reference-
+    divergent deleted-but-not-re-added intermediate); the orphaned staged
+    files are overwritten by a retry. ``_fail_between_phases`` is test
+    hookery for exactly that crash window."""
+    m = _read_manifest(root)
+    _stage_delete(spark, root, m, doc_ids)
+    if _fail_between_phases:
+        raise RuntimeError("injected crash between update phases")
+    seg = _stage_add(spark, docs, root, m, id_col=id_col, text_col=text_col,
+                     **segment_kw)
+    _write_manifest(root, m)
+    return seg
 
 
 def _df_deltas(spark: SparkSession, root: str, m: dict,
