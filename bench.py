@@ -169,6 +169,21 @@ def _run(sf_dir: str, sf: str, n_repeats: int, idx_root: str) -> None:
     local_p50 = round(lats[len(lats) // 2], 4)
     print(f"# local-mode single-query p50: {local_p50}s", file=sys.stderr)
 
+    # segmented (live-root) local serving p50 — same zero-Spark-job mode
+    # over the two-segment root the incremental entries build
+    from colbert_live_spark.index.segments import segment_search_local
+    live_root = eq.built_live_root(spark, sf_dir)
+    segment_search_local(live_root, DOC_QUERIES[:1])  # warm footers
+    slats = []
+    for qid, qtext in DOC_QUERIES[:8]:
+        t0 = time.time()
+        segment_search_local(live_root, [(qid, qtext)])
+        slats.append(time.time() - t0)
+    slats.sort()
+    seg_local_p50 = round(slats[len(slats) // 2], 4)
+    print(f"# segmented local-mode single-query p50: {seg_local_p50}s",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -183,6 +198,7 @@ def _run(sf_dir: str, sf: str, n_repeats: int, idx_root: str) -> None:
         "maxsim_capped_clustered_recall_at_10":
             maxsim_capped_clustered_recall10,
         "local_query_p50_s": local_p50,
+        "segmented_local_query_p50_s": seg_local_p50,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -627,6 +627,122 @@ def segment_search(
     return merge_topk(partial, k)
 
 
+def _df_deltas_local(root: str, m: dict, terms: list[str]) -> dict[str, int]:
+    """Driver-side twin of :func:`_df_deltas`: tombstone df-delta files are
+    |matched terms per delete|-sized, so a pyarrow read + pandas filter is
+    microseconds — no Spark job."""
+    files = m["tombstones"]["delta_files"]
+    if not files or not terms:
+        return {}
+    want = set(terms)
+    out: dict[str, int] = {}
+    for f in files:
+        t = fsio.read_parquet_table(f"{root}/{f}", columns=["term", "ddf"])
+        for term, ddf in zip(t.column("term").to_pylist(),
+                             t.column("ddf").to_pylist()):
+            if term in want:
+                out[term] = out.get(term, 0) + int(ddf)
+    return out
+
+
+def segment_search_local(
+    root: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    prune: bool = True,
+    conjunctive: bool = False,
+) -> pd.DataFrame:
+    """Low-latency serving for a LIVE (segmented) root with ZERO Spark jobs
+    — the segmented twin of :func:`~colbert_live_spark.operators.wand.
+    wand_search_local`, covering the reference's headline use (one user
+    queries a continuously-updated index and waits, README.md:21-23).
+
+    Everything runs on the driver: per-segment dictionaries resolve via the
+    thread-pooled row-group-pruned point-reads (:func:`_segment_dicts`),
+    global statistics (N, avgdl, df→idf minus tombstone deltas) come from
+    the manifest plus the tiny delta files, matched blocks are read per
+    segment with a term_id predicate, remapped to global term ids, bound-
+    rescaled for avgdl drift, and scored as ONE logical shard by the exact
+    shard scorer with tombstones excluded — so results are identical to
+    :func:`segment_search` (tested). Appropriate while Σ matched-list
+    bytes fit one process; batched workloads use the cluster path."""
+    import pyarrow.dataset as pads
+
+    m = _read_manifest(root)
+    empty = pd.DataFrame({"query_id": pd.array([], dtype="str"),
+                          "rank": pd.array([], dtype="int32"),
+                          "doc_id": pd.array([], dtype="int64"),
+                          "score": pd.array([], dtype="float64")})
+    if not m["segments"]:
+        return empty
+    _require_doc_sharded(m, "segment_search_local")
+    n_docs, avgdl = _global_stats(m)
+    if n_docs <= 0:
+        return empty
+
+    all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
+    seg_dicts = _segment_dicts(root, [s["name"] for s in m["segments"]],
+                               all_terms)
+    global_df: dict[str, int] = {}
+    for sd in seg_dicts.values():
+        for term, (_tid, df) in sd.items():
+            global_df[term] = global_df.get(term, 0) + df
+    for term, ddf in _df_deltas_local(root, m, list(global_df)).items():
+        global_df[term] = global_df.get(term, 0) - ddf
+    global_df = {t: df for t, df in global_df.items() if df > 0}
+    if not global_df:
+        return empty
+    gterm_id = {t: i for i, t in enumerate(sorted(global_df))}
+    idf = {t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           for t, df in global_df.items()}
+    qmeta, nq_map = build_qmeta(
+        queries, lambda t: ((gterm_id[t], idf[t]) if t in global_df
+                            else None))
+    if not qmeta:
+        return empty
+
+    excl = None
+    if m["tombstones"]["files"]:
+        cols = [fsio.read_parquet_table(f"{root}/{f}", columns=["doc_id"])
+                .column("doc_id").to_numpy()
+                for f in m["tombstones"]["files"]]
+        excl = np.unique(np.concatenate(cols)).astype(np.int64)
+
+    frames = []
+    for s in m["segments"]:
+        sd = seg_dicts.get(s["name"], {})
+        mapping = {int(tid): gterm_id[t] for t, (tid, _df) in sd.items()
+                   if t in gterm_id}
+        if not mapping:
+            continue
+        fs, p = fsio.resolve(f"{root}/segments/{s['name']}/postings")
+        tab = (pads.dataset(p, format="parquet", filesystem=fs)
+               .to_table(filter=pruning_isin("term_id", sorted(mapping))))
+        blocks = tab.to_pandas()
+        if not len(blocks):
+            continue
+        blocks["term_id"] = blocks["term_id"].map(mapping).astype(np.int64)
+        w_scale = max(1.0, avgdl / float(s["avgdl"])) if s["avgdl"] else 1.0
+        if w_scale != 1.0:
+            blocks["max_weight"] = blocks["max_weight"] * w_scale
+        frames.append(blocks)
+    if not frames:
+        return empty
+    partial = score_shard_queries(
+        pd.concat(frames, ignore_index=True), qmeta, nq_map, avgdl, k,
+        prune=prune, conjunctive=conjunctive, exclude_ids=excl)
+    if not len(partial):
+        return empty
+    out = []
+    for qid, g in partial.groupby("query_id", sort=True):
+        order = np.lexsort((g["doc_id"].to_numpy(),
+                            -g["score"].to_numpy()))[:k]
+        gg = g.iloc[order].reset_index(drop=True)
+        gg.insert(1, "rank", np.arange(1, len(gg) + 1, dtype=np.int32))
+        out.append(gg)
+    return pd.concat(out, ignore_index=True)
+
+
 def compact(spark: SparkSession, root: str, n_shards: int = 4,
             salt_rows: int = 1_000_000) -> str:
     """Fold all segments into one (runs are re-merged, doc ids preserved),

@@ -60,6 +60,26 @@ def test_incremental_matches_oracle(spark, seg_root, oracle_index):
     _assert_matches_oracle(got, oracle_index)
 
 
+def test_local_serving_matches_cluster(spark, seg_root):
+    """segment_search_local == segment_search on a 3-segment root, both
+    disjunctive and conjunctive (the segmented twin of the monolithic
+    wand_search_local identity)."""
+    from colbert_live_spark.index.segments import segment_search_local
+    for conj in (False, True):
+        cluster = _collect(segment_search(spark, seg_root, DOC_QUERIES,
+                                          k=K, conjunctive=conj))
+        local = {}
+        for r in segment_search_local(seg_root, DOC_QUERIES, k=K,
+                                      conjunctive=conj).itertuples():
+            local.setdefault(r.query_id, []).append((r.doc_id, r.score))
+        assert local.keys() == cluster.keys(), conj
+        for qid in cluster:
+            assert ([d for d, _ in local[qid]]
+                    == [d for d, _ in cluster[qid]]), (conj, qid)
+            for (_, s1), (_, s2) in zip(local[qid], cluster[qid]):
+                assert math.isclose(s1, s2, abs_tol=ATOL)
+
+
 def test_incremental_conjunctive_matches_relational(spark, seg_root,
                                                     documents):
     """Intersection semantics across segments == relational conjunctive."""
