@@ -16,13 +16,43 @@ records, so it stays tiny.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyarrow import fs as pafs
 
+# Custom URI schemes: scheme -> resolver(path_without_scheme) ->
+# (FileSystem, native_path). Lets deployments plug in stores pyarrow's
+# from_uri doesn't know, and lets tests serve an index through an
+# explicitly schemed root (an fs whose native paths are NOT local absolute
+# paths, so any code that bypasses the FileSystem object breaks loudly).
+_SCHEMES: dict = {}
+
+
+def register_scheme(scheme: str, resolver) -> None:
+    _SCHEMES[scheme] = resolver
+
+
+def _maybe_register_env_mock() -> None:
+    """Test hookery: SPARK_GRAFT_MOCKFS_BASE=<dir> registers ``mock://p``
+    → SubTreeFileSystem(<dir>)/p. Env-driven (not just an API call) so
+    Spark's Python WORKER processes — which import this module fresh and
+    never see driver-side registrations — resolve the scheme too; that is
+    what lets the zero-shuffle serving tasks read a schemed root end to
+    end in tests."""
+    base = os.environ.get("SPARK_GRAFT_MOCKFS_BASE")
+    if base and "mock" not in _SCHEMES:
+        sub = pafs.SubTreeFileSystem(base, pafs.LocalFileSystem())
+        register_scheme("mock", lambda p, _s=sub: (_s, p))
+
 
 def resolve(path: str) -> tuple[pafs.FileSystem, str]:
     if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme not in _SCHEMES:
+            _maybe_register_env_mock()
+        if scheme in _SCHEMES:
+            return _SCHEMES[scheme](path.split("://", 1)[1])
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
 

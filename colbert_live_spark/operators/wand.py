@@ -700,6 +700,8 @@ def wand_search_local(
     O(log n) probe + O(candidates) rescore, colbert_live.py:167-169."""
     import pyarrow.dataset as ds
 
+    from colbert_live_spark.index import fsio
+
     all_terms = sorted({t for _, q in queries for t in py_tokenize(q)})
     dct, avgdl = _local_dict(index_dir, all_terms)
     qmeta, nq_map = build_qmeta(queries, dct.get)
@@ -710,7 +712,8 @@ def wand_search_local(
                           "score": pd.array([], dtype="float64")})
     if not qmeta:
         return empty
-    dataset = ds.dataset(f"{index_dir}/postings", format="parquet")
+    _pfs, _ppath = fsio.resolve(f"{index_dir}/postings")
+    dataset = ds.dataset(_ppath, format="parquet", filesystem=_pfs)
     blocks = dataset.to_table(
         filter=pruning_isin("term_id", term_ids)).to_pandas()
     fids = None

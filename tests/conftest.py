@@ -1,8 +1,22 @@
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pytest
 
 from colbert_live_spark.session import get_spark
+
+# Must be set BEFORE the JVM launches: Spark's Python workers inherit the
+# JVM's environment, and the mock:// test scheme (fsio) is env-registered
+# precisely so those worker processes can resolve it (test_schemed_serving).
+os.environ.setdefault("SPARK_GRAFT_MOCKFS_BASE",
+                      tempfile.mkdtemp(prefix="mockfs_"))
+
+
+@pytest.fixture(scope="session")
+def mockfs_base():
+    return os.environ["SPARK_GRAFT_MOCKFS_BASE"]
 
 
 @pytest.fixture(scope="session")
