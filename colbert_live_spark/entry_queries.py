@@ -21,7 +21,8 @@ ROUND = 6
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from colbert_live_spark.session import spread_input
+    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tok_sql(col: str = "text") -> str:
@@ -362,7 +363,10 @@ def built_index(spark, sf_dir: str) -> str:
         out = f"{root}/cls_index_v3_{tag}"
         if not os.path.exists(f"{out}/_INDEX_META.json"):
             from colbert_live_spark.index.builder import build_index
-            docs = _docs(spark, sf_dir)
+            # bare scan (no spread_input): build_runs' file-group mode +
+            # resume ledger key on the unmodified input files; the build
+            # spreads each group's scan internally (builder.py)
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             build_index(spark, docs, out, n_groups=4, n_shards=4,
                         salt_rows=200,
                         doc_meta=docs.select("doc_id", "lang"))
@@ -428,7 +432,7 @@ def built_pre_encoded_index(spark, sf_dir: str) -> str:
     out = f"{root}/cls_preenc_v3_{tag}"
     if not os.path.exists(f"{out}/_INDEX_META.json"):
         from colbert_live_spark.index.builder import build_index
-        docs = _docs(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         build_index(spark, docs, out, n_groups=4, n_shards=4,
                     salt_rows=200, pre_encode=True)
     return out
@@ -741,15 +745,14 @@ def q_rrf_fusion(spark, sf_dir):
     fusing only the top-RRF_NANN docs per (query, term)."""
     from pyspark.sql import Window
     docs = _docs(spark, sf_dir)
-    post = bm25.postings(docs)
+    post = bm25.postings_dl(docs)
     dstats = bm25.doc_stats(docs)
     cstats = bm25.corpus_stats(dstats)
     tstats = bm25.term_stats(post, cstats.select("n_docs"))
     qterms = bm25.query_terms_df(spark, DOC_QUERIES)
-    # dstats is corpus-cardinality — no broadcast hint (AQE decides)
+    # dl rides the posting rows (postings_dl) — no corpus-cardinality join
     per_term = (post.join(F.broadcast(qterms), "term")
                 .join(F.broadcast(tstats.select("term", "idf")), "term")
-                .join(dstats, "doc_id")
                 .crossJoin(F.broadcast(cstats.select("avgdl")))
                 .select("query_id", "term", "doc_id",
                         (F.col("idf") * bm25.bm25_weight(

@@ -54,11 +54,13 @@ MAXSIM_CAPPED_NPROBE = 10  # probe width at the capped operating point.
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from colbert_live_spark.session import spread_input
+    return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from colbert_live_spark.session import spread_input
+    return spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _tok(col: str = "text") -> str:

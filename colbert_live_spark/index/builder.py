@@ -190,7 +190,12 @@ def build_runs(
     def process(gid: int) -> int:
         t0 = time.time()
         if groups[gid] is not None:
-            part = spark.read.schema(docs.schema).parquet(*groups[gid])
+            from colbert_live_spark.session import spread_input
+            # a group with one small file (or one giant row group) would
+            # tokenize on a single core — spread it (no-op when the files
+            # already split into enough scan tasks; guide §2.5)
+            part = spread_input(
+                spark.read.schema(docs.schema).parquet(*groups[gid]))
         else:
             part = docs.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)) == gid)

@@ -65,6 +65,22 @@ def postings(docs: DataFrame, id_col: str = "doc_id",
                 .agg(F.count(F.lit(1)).cast("int").alias("tf")))
 
 
+def postings_dl(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf, dl) — postings with the doc length riding each
+    row (the index builder's run shape, ``index/builder.py
+    _runs_from_tokens``). Scoring paths use this to skip the
+    corpus-cardinality doc-length join entirely (guide §2.4: remove
+    shuffles outright): dl is per-doc data already known at tokenize time,
+    so carrying 4 bytes per posting beats shuffling and joining an n_docs
+    relation on every query."""
+    toks = doc_tokens(docs, id_col, text_col)
+    return (toks.select("doc_id", F.size("tokens").alias("dl"),
+                        F.explode("tokens").alias("term"))
+                .groupBy("term", "doc_id", "dl")
+                .agg(F.count(F.lit(1)).cast("int").alias("tf")))
+
+
 def term_stats(post: DataFrame, n_docs_df: DataFrame) -> DataFrame:
     """(term, df, idf). Exact df; Lucene idf = ln(1+(N-df+.5)/(df+.5))."""
     df_t = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -114,20 +130,23 @@ def score_queries(
     """(query_id, doc_id, score) exact BM25, disjunctive by default.
 
     Join order is scale-shaped: postings (huge) ⋈ broadcast(qterms, tiny)
-    prunes to matching terms first, then ⋈ broadcast(term idf) and
-    ⋈ doc lengths. The dl join carries NO broadcast hint: dstats is one row
-    per document (corpus-cardinality), so a forced broadcast is an OOM at
-    scale — AQE converts the shuffle join to broadcast at runtime when the
-    matched side is actually small. On a real corpus dl rides inside the
-    compressed index (see index/builder.py) so no big-big join exists on
-    the serving path at all.
+    prunes to matching terms first, then ⋈ broadcast(term idf). When the
+    posting relation carries ``dl`` (``postings_dl`` — the builder's run
+    shape), the corpus-cardinality doc-length join disappears from the
+    plan entirely (guide §2.4); otherwise the dl join carries NO broadcast
+    hint: dstats is one row per document, so a forced broadcast is an OOM
+    at scale — AQE converts the shuffle join to broadcast at runtime when
+    the matched side is actually small. On a real corpus dl rides inside
+    the compressed index (see index/builder.py) so no big-big join exists
+    on the serving path at all.
     """
     cstats = corpus_stats(dstats)
     tstats = term_stats(post, cstats.select("n_docs"))
     matched = (post.join(F.broadcast(qterms), "term")
-                   .join(F.broadcast(tstats.select("term", "idf")), "term")
-                   .join(dstats, "doc_id")
-                   .crossJoin(F.broadcast(cstats.select("avgdl"))))
+                   .join(F.broadcast(tstats.select("term", "idf")), "term"))
+    if "dl" not in post.columns:
+        matched = matched.join(dstats, "doc_id")
+    matched = matched.crossJoin(F.broadcast(cstats.select("avgdl")))
     contrib = matched.select(
         "query_id", "doc_id", "n_terms",
         (F.col("qtf") * F.col("idf")
@@ -211,7 +230,7 @@ def search(
     """End-to-end batched search over a raw document table (builds the
     uncompressed index inline). The compressed-index path with WAND pruning
     is ``index.builder.build_index`` + ``operators.wand.wand_search``."""
-    post = postings(docs, id_col, text_col)
+    post = postings_dl(docs, id_col, text_col)
     dstats = doc_stats(docs, id_col, text_col)
     qterms = query_terms_df(spark, queries)
     return topk(score_queries(post, dstats, qterms, conjunctive=conjunctive), k)

@@ -21,7 +21,7 @@ ops. Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from colbert_live_spark.functions.tokenize import tokenize_expr
@@ -85,18 +85,31 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     the same cap."""
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        tokenize_expr(text_col).alias("t"))
-    sh = F.transform(
+    # short docs yield a NULL array (explode drops them) instead of a
+    # .filter(size >= n): a filter on a tokenize-derived expression gets
+    # pushed below the input-spread Exchange (PushPredicateThroughNonJoin)
+    # and re-serializes the whole tokenize on the single scan task —
+    # measured 3.5s → 16s at sf0.1 when that pushdown fired
+    arr = F.when(F.size("t") >= n, F.array_distinct(_shingle_arr(n)))
+    out = toks.select("doc_id", F.explode(arr).alias("shingle"))
+    if max_shingle_df is not None:
+        # window-based df cap: ONE pass over one Exchange(shingle) instead of
+        # the groupBy + self-join form, which evaluated the tokenize+explode
+        # subtree twice and shuffled it twice (guide §2.4: two operations
+        # keyed the same way share one exchange). Kept set is identical:
+        # count over the full shingle partition == the old groupBy count.
+        w = Window.partitionBy("shingle")
+        out = (out.withColumn("sh_df", F.count(F.lit(1)).over(w))
+               .filter(F.col("sh_df") <= max_shingle_df)
+               .select("doc_id", "shingle"))
+    return out
+
+
+def _shingle_arr(n: int):
+    """array<string> of the doc's word n-grams from token array column t."""
+    return F.transform(
         F.sequence(F.lit(0), F.size("t") - n),
         lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)))
-    out = (toks.filter(F.size("t") >= n)
-           .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
-    if max_shingle_df is not None:
-        freq = (out.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("sh_df"))
-                .filter(F.col("sh_df") <= max_shingle_df)
-                .select("shingle"))
-        out = out.join(freq, "shingle").select("doc_id", "shingle")
-    return out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -116,6 +129,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     sh = shingles(docs, n, id_col, text_col, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
+    # join strategy deliberately left to the planner: hot boilerplate
+    # shingles make the pair blowup quadratic INSIDE one shingle bucket, so
+    # a shingle-partitioned SHJ/SMJ serializes the hot bucket's pairs into
+    # one task (measured 17s vs 3.5s at sf0.1); the broadcast build keeps
+    # the probe side spread-partitioned so the quadratic probe work spreads
+    # evenly. This operator is the GUARDED small-scale baseline — the
+    # broadcast of a shingle relation is bounded by ALL_PAIRS_MAX_ROWS.
+    # (An n_sh-carried variant that skips the sizes joins was measured 5x
+    # SLOWER: the pre-explode array rode every exploded row through the
+    # Generate — recorded negative result, OPTIMIZATION_r06.md.)
     b = sh.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                      & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -179,36 +202,74 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     (dedup_keep composes both). The cap changes which candidates exist, so
     oracles must apply the same cap."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, n, id_col, text_col,
-                             max_shingle_df)
-    band_keys = (sig.withColumn("band", (F.col("perm") / rows_per_band)
-                                .cast("int"))
-                 .groupBy("doc_id", "band")
-                 .agg(F.md5(F.concat_ws(",", F.sort_array(
-                     F.collect_list(F.concat_ws(":", "perm", "minhash"))))
-                 ).alias("band_key")))
+    sh = shingles(docs, n, id_col, text_col, max_shingle_df)
+    # Fused single-aggregation signatures + per-doc shingle count: ONE
+    # groupBy(doc_id) produces all n_hashes minima AND n_sh (the sizes
+    # relation rode a second full shingle pass + shuffle before — guide
+    # §2.3 "aggregate before you shuffle" / §2.4). Hash bytes identical to
+    # minhash_signatures (md5 of "{perm}:{shingle}").
+    mins = (sh.select("doc_id",
+                      *[_h60(F.col("shingle"), salt=str(p)).alias(f"h{p}")
+                        for p in range(n_hashes)])
+            .groupBy("doc_id")
+            .agg(*[F.min(f"h{p}").alias(f"h{p}") for p in range(n_hashes)],
+                 F.count(F.lit(1)).alias("n_sh")))
+
+    # band keys from the wide signature row — no explode + second groupBy:
+    # same "{perm}:{minhash}" strings, same lexicographic sort, same md5 as
+    # the (doc_id, band) collect_list form (oracle-identical keys)
+    def band_key(b: int):
+        parts = [F.concat_ws(":", F.lit(p), F.col(f"h{p}"))
+                 for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        return F.md5(F.concat_ws(",", F.sort_array(F.array(*parts))))
+
+    keys = (mins.select(
+        "doc_id", "n_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     band_key(b).alias("band_key"))
+            for b in range(bands)])).alias("bk"))
+        .select("doc_id", "n_sh", F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key")))
     if max_band_bucket is not None:
-        ok = (band_keys.groupBy("band", "band_key")
-              .agg(F.count(F.lit(1)).alias("bn"))
-              .filter(F.col("bn") <= max_band_bucket)
-              .select("band", "band_key"))
-        band_keys = band_keys.join(ok, ["band", "band_key"])
-    a = band_keys.alias("a")
-    b = band_keys.alias("b")
+        # window-based bucket-skew cap: same kept set as the old
+        # groupBy-count + join-back, one exchange instead of two
+        wb = Window.partitionBy("band", "band_key")
+        keys = (keys.withColumn("bn", F.count(F.lit(1)).over(wb))
+                .filter(F.col("bn") <= max_band_bucket)
+                .drop("bn"))
+    a = keys.alias("a")
+    b = keys.alias("b")
+    # n_sh rides the candidate self-join (functionally dependent on the doc
+    # id), so the final Jaccard needs NO join back to a sizes relation
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b")).distinct())
-    sh = shingles(docs, n, id_col, text_col, max_shingle_df)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+                    F.col("a.n_sh").alias("na"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("b.n_sh").alias("nb")).distinct())
+
+    # exact-verify join runs over CANDIDATE docs' shingles only: restrict
+    # docs to the candidate id set BEFORE the shingle projection (guide §8:
+    # decide with small rows, gather payloads for survivors only). With a
+    # df cap the capped relation depends on full-corpus dfs, so the
+    # restriction is a semi-join on the already-capped relation instead.
+    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
+                .union(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    if max_shingle_df is None:
+        cdocs = docs.join(cand_ids,
+                          docs[id_col] == cand_ids["doc_id"], "left_semi")
+        shv = shingles(cdocs, n, id_col, text_col)
+    else:
+        shv = sh.join(cand_ids, "doc_id", "left_semi")
+    sha = shv.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = shv.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (cand.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
-              .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("common")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (common.join(sa, "doc_a").join(sb, "doc_b")
+              .groupBy("doc_a", "doc_b", "na", "nb")
+              .agg(F.count(F.lit(1)).alias("common")))
+    return (common
             .select("doc_a", "doc_b",
                     (F.col("common")
                      / (F.col("na") + F.col("nb") - F.col("common"))
@@ -229,6 +290,13 @@ def simhash(docs: DataFrame, bits: int = 60, id_col: str = "doc_id",
     tf = (toks.select("doc_id", F.explode("t").alias("term"))
           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
           .withColumn("h", _h60(F.col("term"))))
+    # NOTE (r6 optimization round): a fused single-aggregation form (all 60
+    # bit votes as sum columns of one groupBy(doc_id), minhash-style) was
+    # implemented and measured SLOWER warm (1.77s vs 0.86s at sf0.1) — a
+    # 60-buffer hash aggregate loses codegen efficiency; the explode rows
+    # are cheap because Catalyst pipelines explode into the partial
+    # aggregate. Kept the explode form deliberately (recorded negative
+    # result, OPTIMIZATION_r06.md).
     votes = (tf.select("doc_id", "tf", "h",
                        F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
                        .alias("bit"))

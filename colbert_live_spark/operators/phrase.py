@@ -46,23 +46,29 @@ def _phrase_patterns(spark: SparkSession,
 
 
 def _verify_phrase(scored: DataFrame, docs: DataFrame,
-                   patterns: DataFrame, text_col: str = "text") -> DataFrame:
+                   patterns: DataFrame, text_col: str = "text",
+                   bounded_candidates: bool = False) -> DataFrame:
     """Filter (query_id, doc_id, score) candidates to docs whose token
     sequence contains the query's phrase.
 
-    Scale shape: the token-string gather joins the CANDIDATE set against
-    the corpus — candidates ≪ corpus (intersection selectivity), so AQE
-    broadcasts the matched side; the corpus-side tokenization prunes to
-    (doc_id, text) columns only. Never a per-query corpus scan: one
-    batched job verifies all queries."""
-    tokstr = docs.select(
-        F.col("doc_id"),
-        F.concat(F.lit(" "), F.array_join(tokenize_expr(text_col), " "),
-                 F.lit(" ")).alias("ts"))
-    return (scored.join(tokstr, "doc_id")
-                  .join(F.broadcast(patterns), "query_id")
-                  .filter(F.instr(F.col("ts"), F.col("pat")) > 0)
-                  .select("query_id", "doc_id", "score"))
+    Scale shape: candidates join the raw (doc_id, text) payloads FIRST and
+    the token-string projection runs on the JOINED relation, so only
+    candidate docs are ever tokenized — O(candidates), not O(corpus)
+    (guide §8: gather payloads for survivors only; the r5 verdict's "gather
+    candidates before tokenizing" fix; plan-asserted in tests/test_plans.py).
+    ``bounded_candidates``: the indexed path's rescore budget bounds the
+    candidate set (≤ candidates·|queries| rows), so it broadcasts
+    explicitly; the exact path's conjunctive match set is data-dependent —
+    AQE picks the strategy, the tokenize-after-join shape holds either
+    way."""
+    cand = scored.join(F.broadcast(patterns), "query_id")
+    if bounded_candidates:
+        cand = F.broadcast(cand)
+    ts = F.concat(F.lit(" "), F.array_join(tokenize_expr(text_col), " "),
+                  F.lit(" "))
+    return (cand.join(docs.select("doc_id", text_col), "doc_id")
+            .filter(F.instr(ts, F.col("pat")) > 0)
+            .select("query_id", "doc_id", "score"))
 
 
 def phrase_search(
@@ -76,7 +82,7 @@ def phrase_search(
     """Exact phrase top-k over a raw document table: conjunctive BM25
     candidates (ALL of them — no cut before the verify), token-sequence
     verification, then top-k."""
-    post = bm25.postings(docs, id_col, text_col)
+    post = bm25.postings_dl(docs, id_col, text_col)
     dstats = bm25.doc_stats(docs, id_col, text_col)
     qterms = bm25.query_terms_df(spark, queries)
     scored = bm25.score_queries(post, dstats, qterms, conjunctive=True)
@@ -107,5 +113,5 @@ def phrase_search_indexed(
                                                 "score")
     verified = _verify_phrase(
         cand, docs.select("doc_id", F.col(text_col).alias("text")),
-        _phrase_patterns(spark, queries))
+        _phrase_patterns(spark, queries), bounded_candidates=True)
     return bm25.topk(verified, k)

@@ -17,6 +17,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def spread_input(df, target: int | None = None):
+    """Input-skew guard (guide §2.5 "one huge unsplittable file"): when a
+    scan yields fewer partitions than the session's parallelism — a single
+    small file, or one giant row group that byte-range splitting cannot cut
+    — every downstream tokenize/hash pipeline serializes on one core. Spread
+    such inputs with one round-robin exchange of the raw rows. NO-OP when
+    the scan already has enough splits (returns ``df`` unchanged), so at
+    real scale, where input files provide the parallelism, nothing is ever
+    shuffled. Row-identical either way (round-robin placement only).
+
+    Only call this on freshly-read scans: ``df.rdd`` is driver-side split
+    planning for a file scan (no job), but would trigger execution under an
+    adaptive plan with exchanges."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def get_spark(
     app_name: str = "colbert_live_spark",
     cores: int | None = None,
@@ -48,6 +68,17 @@ def get_spark(
         # this engine sizes its stages explicitly via shuffle_partitions
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)`
+        # pre-filters for explode(e); with e = a tokenize/shingle expression
+        # the inferred filters re-evaluate the whole expression per row and
+        # predicate pushdown drags them below the input-spread Exchange onto
+        # the (often single-task) scan — measured 2-3x the entire pipeline's
+        # CPU serialized on one core at sf0.1. Our explodes are over dense
+        # text-derived arrays (the filter removes ~nothing), so the rule is
+        # pure overhead at any scale.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
