@@ -54,23 +54,31 @@ def knn_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 
 def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, v, n, centroid_id): nearest-centroid assignment (broadcast
-    cross join over C ≪ N centroids; deterministic cos-desc/centroid-asc
-    argmax). max_by hash-aggregate, NOT a row_number window: the agg gets
-    map-side partial combine (shuffle ~N rows), where the window sorts and
-    shuffles all N·C scored rows. Tie-break matches the window form: max
-    over struct(cos, -centroid_id) picks the lowest centroid on equal cos
-    — selection only, so results are identical."""
-    scored = (base.crossJoin(F.broadcast(cents))
-              .select("id", "v", "n", "centroid_id",
-                      (_dot(F.col("v"), F.col("cv"))
-                       / (F.col("n") * F.col("cn"))).alias("cos")))
-    return (scored.groupBy("id")
-            .agg(F.first("v").alias("v"), F.first("n").alias("n"),
-                 F.max_by(F.col("centroid_id"),
-                          F.struct(F.col("cos"),
-                                   (-F.col("centroid_id")).alias("nc")))
-                 .alias("centroid_id")))
+    """(id, v, n, centroid_id): nearest-centroid assignment with ZERO
+    shuffle of the corpus (guide §2.4): the C ≪ N centroids collapse into
+    ONE array row (tiny agg), broadcast-cross-joined onto every vector,
+    and the argmax runs as a per-row fold over that array — no N·C row
+    blowup, no groupBy(id) exchange of the corpus (the previous form
+    shuffled ~N rows per assignment; there are 3 assignments per 2-iter
+    k-means chain). Tie-break identical to the old max_by form: highest
+    cos, then lowest centroid_id — the fold's replace-iff-strictly-better
+    rule makes the result independent of centroid array order."""
+    carr = cents.agg(F.collect_list(
+        F.struct("centroid_id", "cv", "cn")).alias("cs"))
+    init = F.struct(F.lit(float("-inf")).alias("bc"),
+                    F.lit(-1).cast("long").alias("bid"))
+
+    def step(acc, c):
+        cos = _dot(F.col("v"), c["cv"]) / (F.col("n") * c["cn"])
+        better = (cos > acc["bc"]) | ((cos == acc["bc"])
+                                      & (c["centroid_id"] < acc["bid"]))
+        return F.when(better, F.struct(cos.alias("bc"),
+                                       c["centroid_id"].alias("bid"))
+                      ).otherwise(acc)
+
+    best = F.aggregate(F.col("cs"), init, step)
+    return (base.crossJoin(F.broadcast(carr))
+            .select("id", "v", "n", best["bid"].alias("centroid_id")))
 
 
 def _portable_id_hash(col):
@@ -114,6 +122,12 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int = 2,
         F.col("n").alias("cn"))
     for _ in range(iters):
         assigned = _assign(train, cents)
+        # NOTE (r6 optimization round): a dim-pivoted single-aggregation
+        # means (64 avg columns in one groupBy) was implemented and
+        # measured ~1.5x SLOWER end to end (knn_ivf 2.0s -> 3.1s warm at
+        # sf0.1): >100 aggregate buffer fields disable whole-stage codegen
+        # for the stage. The two-shuffle posexplode form stays (recorded
+        # negative result, OPTIMIZATION_r06.md).
         means = (assigned.select("centroid_id", F.posexplode("v")
                                  .alias("pos", "val"))
                  .groupBy("centroid_id", "pos")
@@ -266,6 +280,10 @@ def maxsim_topk_ivf(emb: DataFrame, query_doc_ids: list[int], k: int = 10,
                 .withColumn("cr", F.row_number().over(wc))
                 .filter(F.col("cr") <= n_maxsim_candidates)
                 .select("query_id", F.col("cdoc").alias("doc_id")))
+    # join strategy left to AQE (r6: explicit F.broadcast(cand)/(q) hints
+    # were measured SLOWER — 3.3-3.9s vs 2.7-3.0s warm at sf0.1 — the
+    # forced broadcast exchanges serialize ahead of the main stage while
+    # AQE already picks a broadcast from runtime sizes)
     per_tok = (cand.join(dv, "doc_id")
                .join(q, "query_id")
                .select("query_id", "doc_id", "qtpos",
