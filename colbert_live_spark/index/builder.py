@@ -201,21 +201,38 @@ def build_runs(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)) == gid)
         toks = _tokenized(part, id_col, text_col)
         run_path = f"{out_dir}/runs/gid={gid}"
-        _runs_from_tokens(toks).write.mode("overwrite").parquet(run_path)
-        # second pass re-tokenizes: cheaper than caching the token arrays
-        toks.select("doc_id", F.size("tokens").alias("dl")).write.mode(
-            "overwrite").parquet(f"{out_dir}/doclens/gid={gid}")
-        # per-group partial term dfs (vocab-sized): groups partition docs,
-        # so global df = Σ group dfs. Checkpointing this here moves the
-        # merge's dictionary pass OFF its critical path — the merge phase
-        # scales worst (measured 2.0-2.6× at 1M on 2→8 cores vs 2.9-4.35×
-        # for the runs phase), so every full runs scan moved into stage 1
-        # improves whole-build scaling; it also re-aggregates per GROUP on
-        # resume, never globally.
-        (spark.read.parquet(run_path).groupBy("term")
-         .agg(F.count(F.lit(1)).cast("long").alias("df"))
-         .coalesce(1).write.mode("overwrite")
-         .parquet(f"{out_dir}/dfs/gid={gid}"))
+
+        def write_runs_then_dfs():
+            _runs_from_tokens(toks).write.mode("overwrite").parquet(run_path)
+            # per-group partial term dfs (vocab-sized): groups partition
+            # docs, so global df = Σ group dfs. Checkpointing this here
+            # moves the merge's dictionary pass OFF its critical path — the
+            # merge phase scales worst (measured 2.0-2.6× at 1M on 2→8
+            # cores vs 2.9-4.35× for the runs phase), so every full runs
+            # scan moved into stage 1 improves whole-build scaling; it also
+            # re-aggregates per GROUP on resume, never globally.
+            (spark.read.parquet(run_path).groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("df"))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{out_dir}/dfs/gid={gid}"))
+
+        def write_doclens():
+            # second pass re-tokenizes: cheaper than caching the token
+            # arrays
+            toks.select("doc_id", F.size("tokens").alias("dl")).write.mode(
+                "overwrite").parquet(f"{out_dir}/doclens/gid={gid}")
+
+        # the doclens job is independent of the runs/dfs chain — submit
+        # both and let Spark overlap them (guide §2.6: the scheduler runs
+        # concurrent jobs fine; actions are only sequential because driver
+        # code calls them sequentially). The ledger commit below still
+        # happens strictly after BOTH outputs exist.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fr = pool.submit(write_runs_then_dfs)
+            fd = pool.submit(write_doclens)
+            fr.result()
+            fd.result()
         # counts from parquet footers — driver-side, no Spark jobs
         n_docs = _parquet_rows(f"{out_dir}/doclens/gid={gid}")
         n_post = _parquet_rows(run_path)
@@ -343,19 +360,54 @@ def merge_index(
     runs = (spark.read.option("recursiveFileLookup", "true")
             .parquet(f"{out_dir}/runs"))
 
-    dstats = (spark.read.option("recursiveFileLookup", "true")
-              .parquet(f"{out_dir}/doclens").select("doc_id", "dl"))
-    if doc_meta is not None:
-        dstats = dstats.join(doc_meta, "doc_id", "left")
-    dstats.write.mode("overwrite").parquet(f"{out_dir}/docs")
-    dstats = spark.read.parquet(f"{out_dir}/docs")
+    # The docs/stats chain and the dictionary's expensive part (dfs agg +
+    # range-partitioned dense-id assignment, which materializes a persisted
+    # relation and collects per-partition counts) are INDEPENDENT — only
+    # the final idf projection needs n_docs. Submit both chains from a
+    # 2-thread pool so their jobs overlap (guide §2.6); everything after
+    # joins on both results.
+    def stats_chain():
+        dstats = (spark.read.option("recursiveFileLookup", "true")
+                  .parquet(f"{out_dir}/doclens").select("doc_id", "dl"))
+        if doc_meta is not None:
+            dstats = dstats.join(doc_meta, "doc_id", "left")
+        dstats.write.mode("overwrite").parquet(f"{out_dir}/docs")
+        dstats = spark.read.parquet(f"{out_dir}/docs")
+        st = dstats.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.avg("dl").alias("avgdl"),
+                        F.sum("dl").cast("long").alias("sum_dl")).collect()[0]
+        # avgdl is NULL over an empty corpus (empty ingest batch) — a crash
+        # here would poison the segment-root manifest path (advice r2)
+        return (dstats, st.n_docs, float(st.avgdl or 0.0),
+                int(st.sum_dl or 0))
 
-    st = dstats.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.avg("dl").alias("avgdl"),
-                    F.sum("dl").cast("long").alias("sum_dl")).collect()[0]
-    # avgdl is NULL over an empty corpus (empty ingest batch) — a crash
-    # here would poison the segment-root manifest path (advice r2)
-    n_docs, avgdl, sum_dl = st.n_docs, float(st.avgdl or 0.0), int(st.sum_dl or 0)
+    def dict_chain():
+        # dictionary dfs: prefer the stage-1 per-group partials
+        # (vocab-sized scan instead of a full postings scan — the merge
+        # phase is the worst-scaling one); fall back to the full runs
+        # aggregation for roots whose runs were produced without dfs
+        # (e.g. compact()'s rewrite path)
+        def _gid_dirs(sub: str) -> set[str]:
+            return {f.rsplit("/", 2)[-2] for f in
+                    fsio.list_files(f"{out_dir}/{sub}", ".parquet")}
+
+        if _gid_dirs("dfs") and _gid_dirs("dfs") >= _gid_dirs("runs"):
+            df_t = (spark.read.option("recursiveFileLookup", "true")
+                    .parquet(f"{out_dir}/dfs")
+                    .groupBy("term").agg(
+                        F.sum("df").cast("long").alias("df")))
+        else:
+            df_t = runs.groupBy("term").agg(
+                F.count(F.lit(1)).cast("long").alias("df"))
+        return _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(stats_chain)
+        f_dict = pool.submit(dict_chain)
+        dstats, n_docs, avgdl, sum_dl = f_stats.result()
+        raw_dict = f_dict.result()
+
     # stats table written driver-side (single row — not worth a Spark job)
     import pyarrow as pa
     fsio.write_parquet_atomic(
@@ -364,22 +416,6 @@ def merge_index(
                  schema=pa.schema([("n_docs", pa.int64()),
                                    ("avgdl", pa.float64())])))
 
-    # dictionary dfs: prefer the stage-1 per-group partials (vocab-sized
-    # scan instead of a full postings scan — the merge phase is the
-    # worst-scaling one); fall back to the full runs aggregation for roots
-    # whose runs were produced without dfs (e.g. compact()'s rewrite path)
-    def _gid_dirs(sub: str) -> set[str]:
-        return {f.rsplit("/", 2)[-2] for f in
-                fsio.list_files(f"{out_dir}/{sub}", ".parquet")}
-
-    if _gid_dirs("dfs") and _gid_dirs("dfs") >= _gid_dirs("runs"):
-        df_t = (spark.read.option("recursiveFileLookup", "true")
-                .parquet(f"{out_dir}/dfs")
-                .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
-    else:
-        df_t = runs.groupBy("term").agg(
-            F.count(F.lit(1)).cast("long").alias("df"))
-    raw_dict = _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
     dict_df = raw_dict.select(
         "term", "term_id", "df",
         F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
