@@ -250,22 +250,17 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
                     F.col("b.doc_id").alias("doc_b"),
                     F.col("b.n_sh").alias("nb")).distinct())
 
-    # exact-verify join runs over CANDIDATE docs' shingles only: restrict
-    # docs to the candidate id set BEFORE the shingle projection (guide §8:
-    # decide with small rows, gather payloads for survivors only). With a
-    # df cap the capped relation depends on full-corpus dfs, so the
-    # restriction is a semi-join on the already-capped relation instead.
-    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
-                .union(cand.select(F.col("doc_b").alias("doc_id")))
-                .distinct())
-    if max_shingle_df is None:
-        cdocs = docs.join(cand_ids,
-                          docs[id_col] == cand_ids["doc_id"], "left_semi")
-        shv = shingles(cdocs, n, id_col, text_col)
-    else:
-        shv = sh.join(cand_ids, "doc_id", "left_semi")
-    sha = shv.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = shv.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # exact-verify join over the full shingle relation. A candidate-id
+    # restriction of the verify side (semi-join docs to the cand id set
+    # before re-shingling) was measured SLOWER both capped and uncapped
+    # (3.2s vs 2.0s warm uncapped, 4.7s vs 3.1s capped at sf0.1): deriving
+    # the id set re-evaluates the whole signature pipeline a second time
+    # (no exchange reuse across differently-pruned consumers), which costs
+    # more than joining the shingles that are already computed. Recorded
+    # trade in OPTIMIZATION_r06.md: on a shuffle-bound cluster the
+    # restriction could win; measurement here says otherwise.
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (cand.join(sha, "doc_a").join(shb, ["doc_b", "shingle"])
               .groupBy("doc_a", "doc_b", "na", "nb")
               .agg(F.count(F.lit(1)).alias("common")))
