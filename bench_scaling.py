@@ -193,6 +193,14 @@ def main() -> None:
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--out-json", default=None)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--pin", action="store_true",
+                    help="pin each level's JVM (and its calibration "
+                         "processes) to exactly that many CPUs via "
+                         "taskset -c 0..N-1 — kills the idle-host borrow "
+                         "confound (a local[2] JVM's GC/shuffle/Python "
+                         "threads otherwise spill onto idle cores and "
+                         "inflate the low level's throughput; r5 verdict "
+                         "ask #1)")
     args = ap.parse_args()
 
     if args.worker_cores:
@@ -221,9 +229,18 @@ def main() -> None:
     def calibrate(procs: int, seconds: float = 6.0, fn=_burn) -> float:
         import multiprocessing as mp
         end = time.time() + seconds
-
-        with mp.Pool(procs) as p:
-            counts = p.map(fn, [end] * procs)
+        saved = None
+        if args.pin:
+            # children inherit the affinity mask: the calibration measures
+            # the same cpuset the pinned JVM will get
+            saved = os.sched_getaffinity(0)
+            os.sched_setaffinity(0, set(range(procs)))
+        try:
+            with mp.Pool(procs) as p:
+                counts = p.map(fn, [end] * procs)
+        finally:
+            if saved is not None:
+                os.sched_setaffinity(0, saved)
         return sum(counts) / seconds
 
     runs: dict[int, list[dict]] = {lv: [] for lv in levels}
@@ -241,6 +258,8 @@ def main() -> None:
                    "--corpus", corpus, "--out-json", out]
             if skip:
                 cmd.append("--skip-build")
+            if args.pin:
+                cmd = ["taskset", "-c", f"0-{lv - 1}"] + cmd
             subprocess.run(cmd, check=True)
             runs[lv].append(json.load(open(out)))
             print(f"# local[{lv}] rep {rep}: {runs[lv][-1]}", file=sys.stderr)
@@ -299,10 +318,22 @@ def main() -> None:
         "query_scaling_efficiency_vs_delivered_membw": round(query_eff_bw, 3),
         "results_identical_across_levels": identical,
     }
-    json.dump(summary, open("BENCH/scaling.json", "w"), indent=2)
+    summary["pinned_cpusets"] = bool(args.pin)
+    json.dump(summary,
+              open("BENCH/scaling_pinned.json" if args.pin
+                   else "BENCH/scaling.json", "w"), indent=2)
 
     md = [
-        "# BENCH — measured baselines (this engine)",
+        "# BENCH — measured baselines (this engine)"
+        + (" — PINNED CPUSETS (taskset)" if args.pin else ""),
+        "",
+        ("Each level's JVM, Python workers and calibration processes run "
+         f"under `taskset -c 0..N-1`, so local[{lo}] gets EXACTLY {lo} "
+         "cores — no idle-host borrow (r5 verdict ask #1). Nominal "
+         "efficiency is the honest number here; the delivered-CPU/"
+         "bandwidth calibrations should sit near the nominal ratio and "
+         "act as a sanity check."
+         if args.pin else ""),
         "",
         f"Corpus: {args.rows} synthetic Common-Crawl-style pages "
         f"(`generate_webpages_fast`, Zipf s=1.07 vocab=1000, dl 20-400), "
@@ -370,7 +401,8 @@ def main() -> None:
         "round-2 table), isolation numbers, per-phase scaling, and "
         "recorded negative results.",
     ]
-    open("BENCH/BASELINE.md", "w").write("\n".join(md) + "\n")
+    open("BENCH/BASELINE_PINNED.md" if args.pin else "BENCH/BASELINE.md",
+         "w").write("\n".join(md) + "\n")
     print(json.dumps(summary))
 
 

@@ -25,6 +25,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _docs_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-spread scan for narrow uses (metadata filters, payload gathers):
+    the spread exchange is pure overhead when no tokenize/hash pipeline
+    follows (r6 measurement)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def _tok_sql(col: str = "text") -> str:
     return DUCKDB_TOKENIZE.format(col=col)
 
@@ -335,7 +342,7 @@ def q_topk_payload(spark, sf_dir):
     join of the tiny result side (`colbert_live/db/astra.py:249-260` analog)."""
     docs = _docs(spark, sf_dir)
     top = bm25.search(spark, docs, DOC_QUERIES, k=5)
-    return (docs.join(F.broadcast(top), "doc_id")
+    return (_docs_bare(spark, sf_dir).join(F.broadcast(top), "doc_id")
             .select("query_id", "rank", "doc_id",
                     F.round("score", ROUND).alias("score"),
                     F.substring("text", 1, 40).alias("snippet"),
@@ -478,7 +485,7 @@ def q_bm25_phrase_wand(spark, sf_dir):
     gather, and verify are all rank/score-identical."""
     from colbert_live_spark.operators.phrase import phrase_search_indexed
     from colbert_live_spark.queryset import PHRASE_QUERIES
-    docs = _docs(spark, sf_dir)
+    docs = _docs_bare(spark, sf_dir)
     idx = built_index(spark, sf_dir)
     return _round_score(phrase_search_indexed(
         spark, idx, docs, PHRASE_QUERIES, k=10, candidates=64))
@@ -491,7 +498,7 @@ def q_bm25_filtered_wand(spark, sf_dir):
     Corpus statistics stay global (reference semantics: the tag filter of
     `example/cmdline/db.py:82-88` narrows candidates, not the model)."""
     from colbert_live_spark.operators.wand import wand_search
-    docs = _docs(spark, sf_dir)
+    docs = _docs_bare(spark, sf_dir)
     idx = built_index(spark, sf_dir)
     en = docs.filter(F.col("lang") == "en").select("doc_id")
     return _round_score(wand_search(spark, idx, DOC_QUERIES, k=10,
@@ -504,7 +511,7 @@ def q_bm25_tag_filtered(spark, sf_dir):
     array<string> tags column; the predicate is array_contains, composed
     with compressed-index retrieval at query time (global stats)."""
     from colbert_live_spark.operators.wand import wand_search
-    docs = _docs(spark, sf_dir)
+    docs = _docs_bare(spark, sf_dir)
     idx = built_index(spark, sf_dir)
     tagged = docs.withColumn("tags", F.array(F.col("lang"), F.col("source")))
     keep = tagged.filter(F.array_contains("tags", "zh")
@@ -773,7 +780,7 @@ def q_html_roundtrip(spark, sf_dir):
     `example/cmdline/main.py:16-29`)."""
     from colbert_live_spark.sources.webpages import (
         HTML_PREFIX, HTML_SUFFIX, extract_text)
-    docs = _docs(spark, sf_dir)
+    docs = _docs_bare(spark, sf_dir)
     html = F.encode(
         F.concat(F.lit(HTML_PREFIX), F.col("text"), F.lit(HTML_SUFFIX)),
         "UTF-8")

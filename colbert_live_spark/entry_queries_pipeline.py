@@ -58,6 +58,13 @@ def _docs(spark, sf_dir):
     return spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _docs_bare(spark, sf_dir):
+    """Un-spread scan for queries whose per-row work is trivial: the spread
+    exchange measured as pure overhead there (r6; the heavy tokenize/hash
+    pipelines keep the spread via _docs)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def _emb(spark, sf_dir):
     from colbert_live_spark.session import spread_input
     return spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
@@ -70,7 +77,7 @@ def _tok(col: str = "text") -> str:
 # ------------------------------------------------------------------ dedup
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dup_pairs(_docs(spark, sf_dir))
+    return dedup.exact_dup_pairs(_docs_bare(spark, sf_dir))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -226,7 +233,7 @@ def q_media_histogram(spark, sf_dir):
     honest stub (sources/multimodal.py) — this proves the schemas, batch
     shapes, and byte plumbing, not pixel math."""
     from colbert_live_spark.sources import multimodal
-    media = multimodal.media_from_text(_docs(spark, sf_dir))
+    media = multimodal.media_from_text(_docs_bare(spark, sf_dir))
     return multimodal.decode_histogram(media)
 
 
@@ -234,7 +241,7 @@ def q_media_histogram(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     t = F.col("text")
-    return _docs(spark, sf_dir).select(
+    return _docs_bare(spark, sf_dir).select(
         "doc_id",
         ts.token_count(t).alias("n_tokens"),
         F.round(ts.punct_ratio(t), ROUND).alias("punct_ratio"),
@@ -243,12 +250,12 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    return _docs_bare(spark, sf_dir).select(
         "doc_id", ts.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    return _docs_bare(spark, sf_dir).select(
         "doc_id", ts.fingerprint(F.col("text")).alias("fp"))
 
 

@@ -125,3 +125,32 @@ def test_segment_search_tombstoned_plan(spark):
     assert "MapInPandas" in plan
     assert "FlatMapCoGroupsInPandas" not in plan
     assert "hashpartitioning(salt" not in plan
+
+
+def test_phrase_verify_tokenizes_candidates_only(spark):
+    """r5 verdict ask #2: the phrase verify's token-string projection must
+    run on the CANDIDATE-joined relation, never on the bare corpus scan —
+    tokenizing below the join re-tokenizes the whole corpus per batch. In
+    the printed tree, parents precede children, so the tokenize expression
+    (array_join over the split) must appear ABOVE the first join operator,
+    and the corpus side must flow into the join as raw (doc_id, text)."""
+    from colbert_live_spark.operators.phrase import phrase_search_indexed
+    from colbert_live_spark.entry_queries import built_index
+    from colbert_live_spark.queryset import PHRASE_QUERIES
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = built_index(spark, "/root/testdata/sf0.001")
+    df = phrase_search_indexed(spark, idx, docs, PHRASE_QUERIES, k=10,
+                               candidates=64)
+    plan = physical_plan(df)
+    assert "array_join" in plan
+    first_join = min(i for i in (plan.find("BroadcastHashJoin"),
+                                 plan.find("SortMergeJoin"),
+                                 plan.find("ShuffledHashJoin")) if i >= 0)
+    # parents print before children: everything after the outer join's own
+    # line is its subtree — the tokenize may appear on/above that line (the
+    # join condition) but never below it (that would be a corpus-side
+    # tokenize projection)
+    join_line_end = plan.find("\n", first_join)
+    assert "array_join" not in plan[join_line_end:], (
+        "tokenize runs below the candidate join (full-corpus tokenize):\n"
+        + plan[:4000])
