@@ -187,7 +187,15 @@ def _stage_add(
             m.setdefault("stream_batch_ids", {})[sid] = batch_id
             if sid == "_default":
                 m["last_batch_id"] = batch_id
-        m["ns_version"] = 2  # first post-migration commit upgrades the root
+        # Upgrade the namespace version only once the legacy token is
+        # either absent (nothing to migrate) or actually seeded into the
+        # namespaced map (advice r5): a plain manual add (batch_id=None)
+        # on a legacy root must NOT erase the migration marker, or a named
+        # stream later resuming that root would start its namespace at -1
+        # and re-ingest the replayed micro-batch as a duplicate segment —
+        # the exact hazard the r4 guard closes.
+        if m["last_batch_id"] < 0 or m.get("stream_batch_ids"):
+            m["ns_version"] = 2
 
     # Record the root's id mode on first ingest and refuse mode changes
     # (advice r4): a preserve_ids batch whose natural ids collide with
@@ -200,7 +208,10 @@ def _stage_add(
             f"a {mode!r} batch — mixing modes can silently double-count any "
             "natural id that collides with an assigned offset id. Use a "
             "fresh root (or compact and re-ingest under one mode).")
-    m["id_mode"] = mode
+    # NOTE: m["id_mode"] is recorded only after the zero-doc early return
+    # below (advice r5): an empty first batch (e.g. a stream's initial
+    # empty micro-batch under the default offset mode) must not permanently
+    # fix the root's id mode and reject the first real preserve_ids batch.
 
     base = 0 if preserve_ids else m["next_doc_base"]
     seg = f"seg{m['seq']:05d}"
@@ -221,6 +232,7 @@ def _stage_add(
         fsio.delete_dir(seg_dir)
         commit_batch_id()
         return None
+    m["id_mode"] = mode  # only a batch that actually commits docs fixes it
     if first:
         m["doc_shards"] = int(meta["doc_shards"])
     max_id = spark.read.parquet(f"{seg_dir}/docs").agg(
@@ -384,6 +396,19 @@ def update_docs(spark: SparkSession, docs: DataFrame, root: str,
     files are overwritten by a retry. ``_fail_between_phases`` is test
     hookery for exactly that crash window."""
     m = _read_manifest(root)
+    if m.get("id_mode") == "preserve":
+        # advice r5 (medium): on a preserve_ids root the re-added docs keep
+        # the SAME ids just tombstoned; tombstone exclusion is global by
+        # doc_id across segments, so the updated docs would vanish from
+        # every search and compact()'s anti-join would physically drop the
+        # re-added rows — silent data loss. Refuse until tombstone
+        # reconciliation for natural-key upserts exists.
+        raise ValueError(
+            f"update_docs on root {root} (id_mode='preserve') would "
+            "tombstone the very ids it re-ingests — the global tombstone "
+            "exclusion would hide the updated docs and compact() would "
+            "drop them (silent data loss). Delete+re-add under new natural "
+            "ids, or use an offset-mode root for in-place updates.")
     _stage_delete(spark, root, m, doc_ids)
     if _fail_between_phases:
         raise RuntimeError("injected crash between update phases")
