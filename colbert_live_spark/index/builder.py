@@ -399,14 +399,20 @@ def merge_index(
         else:
             df_t = runs.groupBy("term").agg(
                 F.count(F.lit(1)).cast("long").alias("df"))
-        return _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
+        rd = _dense_term_ids(spark, df_t, n_parts=max(4, n_shards))
+        # df_max needs only the df column (not n_docs from the stats
+        # chain) — compute it here so doc_shards is known the moment both
+        # chains join (the persisted dense-id input makes this agg cheap)
+        dmax = (None if doc_shards is not None
+                else int(rd.agg(F.max("df")).collect()[0][0] or 1))
+        return rd, dmax
 
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_stats = pool.submit(stats_chain)
         f_dict = pool.submit(dict_chain)
         dstats, n_docs, avgdl, sum_dl = f_stats.result()
-        raw_dict = f_dict.result()
+        raw_dict, df_max = f_dict.result()
 
     # stats table written driver-side (single row — not worth a Spark job)
     import pyarrow as pa
@@ -420,24 +426,24 @@ def merge_index(
         "term", "term_id", "df",
         F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
               / (F.col("df") + 0.5)).alias("idf"))
-    # few files (query-time dictionary point-lookups pay per-file overhead),
-    # term-sorted WITHIN each file so the driver-side pyarrow lookup prunes
-    # to the row groups containing the queried terms (at web scale the
-    # dictionary is ~10^8 rows; the lookup must not read all of it).
-    # MUST be repartition, not coalesce: coalesce fuses into the id-assign
-    # mapInPandas stage and changes TaskContext.partitionId() under it,
-    # corrupting the dense-id offsets; repartition is a shuffle barrier.
-    (dict_df.repartition(max(2, n_shards // 8))
-     .sortWithinPartitions("term")
-     .write.mode("overwrite").parquet(f"{out_dir}/dict"))
-    # NOT re-read from disk: assign_dense_ids keeps its input persisted, so
-    # reuse stays deterministic and we skip a read-back job
-
     if doc_shards is None:
-        # vocab-sized agg over the persisted dictionary input — cheap
-        df_max = int(dict_df.agg(F.max("df")).collect()[0][0] or 1)
         doc_shards = max(n_shards,
                          math.ceil(df_max / salt_rows) * doc_shards_headroom)
+
+    def write_dict():
+        # few files (query-time dictionary point-lookups pay per-file
+        # overhead), term-sorted WITHIN each file so the driver-side
+        # pyarrow lookup prunes to the row groups containing the queried
+        # terms (at web scale the dictionary is ~10^8 rows; the lookup
+        # must not read all of it). MUST be repartition, not coalesce:
+        # coalesce fuses into the id-assign mapInPandas stage and changes
+        # TaskContext.partitionId() under it, corrupting the dense-id
+        # offsets; repartition is a shuffle barrier.
+        (dict_df.repartition(max(2, n_shards // 8))
+         .sortWithinPartitions("term")
+         .write.mode("overwrite").parquet(f"{out_dir}/dict"))
+        # NOT re-read from disk: assign_dense_ids keeps its input
+        # persisted, so reuse stays deterministic and we skip a read-back
 
     # The merge-shuffle: postings + term ids, salted by global doc shard so
     # each (term_id, salt) group is contiguous and sorted by doc_id.
@@ -461,13 +467,24 @@ def merge_index(
     tagged = (runs.join(F.broadcast(dict_df.select("term", "term_id")),
                         "term")
               .select(*shuffle_cols))
-    if slim:
+
+    def write_dlmap():
         # one cheap n_docs-row job: per-salt (doc_id, dl), one dir per salt
         (dstats.select(F.pmod(F.xxhash64("doc_id"), F.lit(doc_shards))
                         .cast("int").alias("salt"), "doc_id", "dl")
          .repartition(doc_shards, "salt")
          .write.partitionBy("salt").mode("overwrite")
          .parquet(f"{out_dir}/dlmap"))
+
+    # dict and dlmap writes are independent of each other (and both must
+    # finish before the encode tasks run — encode reads dlmap, serving
+    # reads dict); overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(write_dict)]
+        if slim:
+            futs.append(pool.submit(write_dlmap))
+        for f in futs:
+            f.result()
     # hash repartition, not repartitionByRange: the range sampler would scan
     # the whole join twice. Partitioning by SALT ALONE (layout salt_v3, one
     # output file per doc shard) makes every output file a complete

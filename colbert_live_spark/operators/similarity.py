@@ -122,14 +122,24 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int = 2,
         F.col("n").alias("cn"))
     for _ in range(iters):
         assigned = _assign(train, cents)
-        # NOTE (r6 optimization round): a dim-pivoted single-aggregation
-        # means (64 avg columns in one groupBy) was implemented and
-        # measured ~1.5x SLOWER end to end (knn_ivf 2.0s -> 3.1s warm at
-        # sf0.1): >100 aggregate buffer fields disable whole-stage codegen
-        # for the stage. The two-shuffle posexplode form stays (recorded
-        # negative result, OPTIMIZATION_r06.md).
-        means = (assigned.select("centroid_id", F.posexplode("v")
-                                 .alias("pos", "val"))
+        # SAMPLED training (the scale path — bounded rows): one exchange
+        # per iteration, not two. Repartitioning by centroid_id BEFORE the
+        # per-(centroid, pos) mean makes hashpartitioning(cid) satisfy the
+        # ClusteredDistribution of BOTH aggregations (cid ⊆ (cid, pos)),
+        # so the second groupBy needs no new shuffle — verified
+        # bit-identical centroids, knn_ivf ~2.5s -> ~1.9s warm at sf0.1.
+        # FULL-corpus training keeps the two-exchange form: the repartition
+        # ships raw exploded rows (train_rows × dim), losing the map-side
+        # partial aggregation that bounds shuffle bytes at C × dim per map
+        # partition — correct trade only when the training set is sample-
+        # bounded. (A dim-pivoted single-aggregation form — 64 avg columns
+        # — was measured 1.5x SLOWER: >100 aggregate buffer fields disable
+        # whole-stage codegen; recorded negative, OPTIMIZATION_r06.md.)
+        exploded = assigned.select("centroid_id", F.posexplode("v")
+                                   .alias("pos", "val"))
+        if train_sample is not None:
+            exploded = exploded.repartition("centroid_id")
+        means = (exploded
                  .groupBy("centroid_id", "pos")
                  .agg(F.round(F.avg("val"), round_dp).alias("m"))
                  .groupBy("centroid_id")
